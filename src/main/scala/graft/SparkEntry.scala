@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names to runnable DataFrame builders over the
+  * driver's parquet tables at `dir`; `oracleSql` holds the DuckDB twin of
+  * each SQL-expressible query. Spatial WKT operators (graft.engine) are
+  * verified against the reference fixtures in ScalaTest and additionally
+  * registered here (rows-only check where plain SQL can't express them).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.QueryPack.queries ++ graft.engine.SpatialQueries.queries
+
+  /** DuckDB twins for the SQL-expressible queries. */
+  def oracleSql: Map[String, String] =
+    graft.queries.QueryPack.oracles ++ graft.engine.SpatialQueries.oracles
 }

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Oracle-checkable query pack over the driver's parquet tables.
+  *
+  * Every query here has a DuckDB-SQL twin in [[QueryPack.oracles]] producing
+  * identical rows (same column names, deterministic values). Numeric rules:
+  *   - money sums go through decimal so they are exact and order-independent,
+  *     then cast back to double and rounded;
+  *   - synthetic point coordinates are pure integer arithmetic (no FP).
+  *
+  * The synthetic-point queries (tile / within-distance / kNN) are the
+  * SQL-expressible shadow of the spatial engine (see graft.engine): tile
+  * assignment = raster<->vector cell cover of a point; the distance join and
+  * kNN mirror the reference's within-distance mode (reference:
+  * src/spatialjoin/Sweeper.cpp:4015-4277) on point geometries.
+  */
+object QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double column, emitted as rounded double. */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+
+  // ---------------------------------------------------------------- tpch-ish
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,8)")).cast("double"), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "count_order")
+
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    // dimension side is small at every SF relative to lineitem: broadcast it
+    li.join(broadcast(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(38,8)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def q5Regional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  def q8Sessions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  // --------------------------------------------------------------- text ops
+
+  def q9DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_dups") >= 1)
+
+  /** Quality metrics via pure replace/length arithmetic (portable). */
+  def q10DocStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val spaces = length(txt) - length(regexp_replace(txt, " ", ""))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(txt).as("len_chars"),
+      spaces.as("n_spaces"),
+      (spaces + 1).as("n_tokens_ws"),
+      ((length(txt) - length(regexp_replace(txt, "the", ""))) / 3)
+        .cast("long").as("n_the"))
+  }
+
+  /** Language-ID heuristic via stopword occurrence counts. */
+  def q11LangId(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def cnt(w: String): Column =
+      ((length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(s" $w "), ""))) / (w.length + 2))
+        .cast("long")
+    val en = (cnt("the") + cnt("and") + cnt("of")).as("sc_en")
+    val de = (cnt("der") + cnt("die") + cnt("und")).as("sc_de")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), en, de)
+      .withColumn("guess",
+        when(col("sc_en") > col("sc_de"), "en")
+          .when(col("sc_de") > col("sc_en"), "de")
+          .otherwise("other"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
+  def q12Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+        .as("fp"))
+
+  // ------------------------------------------------------------- embeddings
+
+  /** Exact L2 norm + dot with a fixed deterministic probe vector. */
+  def q13EmbedNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      round(sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+        .as("l2norm"),
+      size(col("embedding")).as("dim"))
+
+  // ------------------------------------------------- synthetic point spatial
+  //
+  // Deterministic integer points derived from the orders table:
+  //   x = (o_orderkey * 7919) % 20001 - 10000
+  //   y = (o_orderkey * 104729) % 20001 - 10000
+  // Pure integer arithmetic -> bit-identical in Spark and DuckDB.
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("pid"),
+      ((col("o_orderkey") * 7919) % 20001 - 10000).as("x"),
+      ((col("o_orderkey") * 104729) % 20001 - 10000).as("y"))
+
+  /** Raster<->vector tile assignment: point -> 500x500 grid cell.
+    * This is the SQL shadow of graft.engine tile assignment (reference
+    * boxIds cover: src/spatialjoin/BoxIds.h:99-162). */
+  def q14TileAssign(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .select(col("pid"), floor((col("x") + 10000) / 500).as("tx"),
+        floor((col("y") + 10000) / 500).as("ty"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(count(lit(1)).as("n_points"), min(col("pid")).as("min_pid"))
+
+  /** Within-distance self-join (d=300) via grid-cell candidate join, exact
+    * integer distance refinement. Mirrors reference --within-distance mode
+    * (src/spatialjoin/Sweeper.h:350-388) at point granularity. */
+  def q15DistJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = 300L
+    val cell = 300L
+    val p = pts(s, dir)
+    // each point lands in 1 cell; probe side explodes to the 3x3 neighborhood
+    val a = p.select(col("pid").as("a_pid"), col("x").as("ax"), col("y").as("ay"),
+      floor(col("x") / cell).as("cx"), floor(col("y") / cell).as("cy"))
+    val off = Seq(-1L, 0L, 1L)
+    val b = p.select(col("pid").as("b_pid"), col("x").as("bx"), col("y").as("by"))
+      .withColumn("cx", explode(array(off.map(o => floor(col("bx") / cell) + o): _*)))
+      .withColumn("cy", explode(array(off.map(o => floor(col("by") / cell) + o): _*)))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("a_pid") < col("b_pid"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= d * d)
+      .select(col("a_pid"), col("b_pid"),
+        ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist2"))
+  }
+
+  /** Exact kNN (k=3) for a 1% query sample against all points; broadcast the
+    * tiny query side, window top-k with deterministic tie-break. */
+  def q16Knn(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val q = p.filter(col("pid") % 100 === 0)
+      .select(col("pid").as("q_pid"), col("x").as("qx"), col("y").as("qy"))
+    val w = Window.partitionBy(col("q_pid"))
+      .orderBy(col("dist2").asc, col("pid").asc)
+    p.crossJoin(broadcast(q))
+      .filter(col("pid") =!= col("q_pid"))
+      .select(col("q_pid"), col("pid"),
+        ((col("x") - col("qx")) * (col("x") - col("qx")) +
+          (col("y") - col("qy")) * (col("y") - col("qy"))).as("dist2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q3_join" -> q3Join _,
+    "q5_regional" -> q5Regional _,
+    "q7_window" -> q7Window _,
+    "q8_sessions" -> q8Sessions _,
+    "q9_dedup_exact" -> q9DedupExact _,
+    "q10_docstats" -> q10DocStats _,
+    "q11_langid" -> q11LangId _,
+    "q12_fingerprint" -> q12Fingerprint _,
+    "q13_embed_norm" -> q13EmbedNorm _,
+    "q14_tile_assign" -> q14TileAssign _,
+    "q15_dist_join" -> q15DistJoin _,
+    "q16_knn" -> q16Knn _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_base_price,
+        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,8))) AS DOUBLE),2) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,8))) AS DOUBLE),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey""".stripMargin,
+    "q5_regional" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q8_sessions" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),2) AS total_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q9_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+    "q10_docstats" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        | length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        | length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens_ws,
+        | (length(text) - length(replace(text, 'the', ''))) // 3 AS n_the
+        |FROM documents""".stripMargin,
+    "q11_langid" ->
+      """WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  (length(pt) - length(replace(pt, ' the ', '')))//5
+        |   + (length(pt) - length(replace(pt, ' and ', '')))//5
+        |   + (length(pt) - length(replace(pt, ' of ', '')))//4 AS sc_en,
+        |  (length(pt) - length(replace(pt, ' der ', '')))//5
+        |   + (length(pt) - length(replace(pt, ' die ', '')))//5
+        |   + (length(pt) - length(replace(pt, ' und ', '')))//5 AS sc_de
+        | FROM p)
+        |SELECT doc_id, lang, sc_en, sc_de,
+        | CASE WHEN sc_en > sc_de THEN 'en' WHEN sc_de > sc_en THEN 'de'
+        |      ELSE 'other' END AS guess
+        |FROM s""".stripMargin,
+    "q12_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q13_embed_norm" ->
+      """SELECT vec_id, label,
+        | round(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2norm,
+        | len(embedding) AS dim
+        |FROM embeddings""".stripMargin,
+    "q14_tile_assign" ->
+      """WITH pts AS (SELECT o_orderkey AS pid,
+        |  (o_orderkey * 7919) % 20001 - 10000 AS x,
+        |  (o_orderkey * 104729) % 20001 - 10000 AS y FROM orders)
+        |SELECT CAST(floor((x + 10000) / 500) AS BIGINT) AS tx,
+        |       CAST(floor((y + 10000) / 500) AS BIGINT) AS ty,
+        |       count(*) AS n_points, min(pid) AS min_pid
+        |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q15_dist_join" ->
+      """WITH pts AS (SELECT o_orderkey AS pid,
+        |  (o_orderkey * 7919) % 20001 - 10000 AS x,
+        |  (o_orderkey * 104729) % 20001 - 10000 AS y FROM orders)
+        |SELECT a.pid AS a_pid, b.pid AS b_pid,
+        |  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+        |FROM pts a JOIN pts b
+        |  ON a.pid < b.pid
+        | AND b.x BETWEEN a.x - 300 AND a.x + 300
+        | AND b.y BETWEEN a.y - 300 AND a.y + 300
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 90000""".stripMargin,
+    "q16_knn" ->
+      """WITH pts AS (SELECT o_orderkey AS pid,
+        |  (o_orderkey * 7919) % 20001 - 10000 AS x,
+        |  (o_orderkey * 104729) % 20001 - 10000 AS y FROM orders),
+        |q AS (SELECT pid AS q_pid, x AS qx, y AS qy FROM pts WHERE pid % 100 = 0)
+        |SELECT q_pid, pid, dist2, rk FROM (
+        | SELECT q.q_pid, p.pid,
+        |  (p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) AS dist2,
+        |  row_number() OVER (PARTITION BY q.q_pid
+        |    ORDER BY (p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) ASC, p.pid ASC) AS rk
+        | FROM pts p CROSS JOIN q WHERE p.pid <> q.q_pid)
+        |WHERE rk <= 3""".stripMargin
+  )
+}
