@@ -1,0 +1,287 @@
+package graft.geom
+
+/** Core integer geometry model.
+  *
+  * Coordinates are WGS84 lon/lat projected to web mercator, scaled by
+  * PREC = 10 and truncated to Int (reference: src/spatialjoin/WKTParse.h:107-111,
+  * src/spatialjoin/BoxIds.h:11-20). All exact predicates are integer
+  * arithmetic in this space; cross products of coordinate deltas fit in Long
+  * (|coord| <= ~2.01e8, so products <= ~1.7e17 << 2^63).
+  */
+object Geo {
+  /** PREC from reference BoxIds.h:11. */
+  final val PREC = 10.0
+  /** Web-mercator half-width in projected meters (BoxIds.h:19-20). */
+  final val MERC_HALF = 20037508.3427892
+  /** World width in int coords. */
+  final val WORLD_W: Double = MERC_HALF * PREC * 2.0
+
+  /** lon/lat -> int32 web-mercator*PREC, trunc-toward-zero like the
+    * reference's static_cast<int>. */
+  def projX(lon: Double): Int = (lon / 180.0 * MERC_HALF * PREC).toInt
+  def projY(lat: Double): Int = {
+    val y = math.log(math.tan((90.0 + lat) * math.Pi / 360.0)) / math.Pi * MERC_HALF
+    (y * PREC).toInt
+  }
+  /** Inverse, for distance scale factors. */
+  def invLat(yInt: Double): Double = {
+    val y = yInt / PREC
+    math.atan(math.exp(y * math.Pi / MERC_HALF)) * 360.0 / math.Pi - 90.0
+  }
+
+  // ------------------------------------------------------------ primitives
+
+  /** Sign of cross((b-a),(c-a)): >0 left / CCW, <0 right / CW, 0 collinear. */
+  def orient(ax: Long, ay: Long, bx: Long, by: Long, cx: Long, cy: Long): Int = {
+    val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    java.lang.Long.signum(v).toInt
+  }
+
+  def cross(ax: Long, ay: Long, bx: Long, by: Long): Long = ax * by - ay * bx
+  def dot(ax: Long, ay: Long, bx: Long, by: Long): Long = ax * bx + ay * by
+
+  /** p strictly/inclusively on segment [a,b] (collinear + within box). */
+  def onSeg(px: Long, py: Long, ax: Long, ay: Long, bx: Long, by: Long): Boolean =
+    orient(ax, ay, bx, by, px, py) == 0 &&
+      math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+      math.min(ay, by) <= py && py <= math.max(ay, by)
+
+  // ---------------------------------------------------------------- types
+
+  /** One single (sub-)geometry: a point, a linestring, or a polygon with
+    * holes. Polygons store rings concatenated in `coords` (x,y pairs),
+    * `ringEnds(i)` = exclusive end offset (in points) of ring i; ring 0 is
+    * the shell. Rings are stored WITHOUT the closing duplicate point and
+    * normalized: shell CCW (positive signed area), holes CW. Lines store one
+    * "ring" that is an open path.
+    */
+  final class G(
+      val kind: Int, // 0 = point, 1 = line, 2 = polygon
+      val coords: Array[Int],
+      val ringEnds: Array[Int]) {
+
+    val (minX, minY, maxX, maxY) = {
+      var i = 0; var x0 = Int.MaxValue; var y0 = Int.MaxValue
+      var x1 = Int.MinValue; var y1 = Int.MinValue
+      while (i < coords.length) {
+        val x = coords(i); val y = coords(i + 1)
+        if (x < x0) x0 = x; if (x > x1) x1 = x
+        if (y < y0) y0 = y; if (y > y1) y1 = y
+        i += 2
+      }
+      (x0, y0, x1, y1)
+    }
+
+    def nPoints: Int = coords.length / 2
+    def nRings: Int = ringEnds.length
+    def ringStart(r: Int): Int = if (r == 0) 0 else ringEnds(r - 1)
+    def x(i: Int): Int = coords(2 * i)
+    def y(i: Int): Int = coords(2 * i + 1)
+
+    /** Twice the signed area, exact (shoelace); polygons only. */
+    lazy val area2: Long = {
+      var tot = 0L
+      var r = 0
+      while (r < nRings) {
+        val s = ringStart(r); val e = ringEnds(r)
+        var i = s
+        var acc = 0L
+        while (i < e) {
+          val j = if (i + 1 == e) s else i + 1
+          acc += x(i).toLong * y(j) - x(j).toLong * y(i)
+          i += 1
+        }
+        tot += acc // holes are CW => negative, subtracting hole area
+        r += 1
+      }
+      tot
+    }
+
+    /** Euclidean length in int-coord units (lines). */
+    lazy val length: Double = {
+      var acc = 0.0
+      var i = 0
+      val n = nPoints
+      while (i + 1 < n) {
+        val dx = (x(i + 1) - x(i)).toDouble
+        val dy = (y(i + 1) - y(i)).toDouble
+        acc += math.sqrt(dx * dx + dy * dy)
+        i += 1
+      }
+      acc
+    }
+
+    /** Closed linestring => empty boundary (OGC mod-2 rule). */
+    def isClosedLine: Boolean =
+      kind == 1 && nPoints > 1 && x(0) == x(nPoints - 1) && y(0) == y(nPoints - 1)
+
+    def bboxIntersects(o: G): Boolean =
+      !(o.minX > maxX || o.maxX < minX || o.minY > maxY || o.maxY < minY)
+
+    /** Edge count (polygon: cyclic edges of all rings; line: open path). */
+    def edgeCount: Int =
+      if (kind == 2) nPoints
+      else if (kind == 1) math.max(0, nPoints - 1)
+      else 0
+
+    /** next-vertex index per edge start (cyclic within ring for polygons). */
+    lazy val nextIdx: Array[Int] = {
+      if (kind == 1) Array.range(1, nPoints)
+      else {
+        val out = new Array[Int](nPoints)
+        var r = 0
+        while (r < nRings) {
+          val s = ringStart(r); val e = ringEnds(r)
+          var i = s
+          while (i < e) { out(i) = if (i + 1 == e) s else i + 1; i += 1 }
+          r += 1
+        }
+        out
+      }
+    }
+
+    /** Edge e start vertex index (== e) and end vertex index. */
+    @inline def edgeP(e: Int): Int = e
+    @inline def edgeQ(e: Int): Int = nextIdx(e)
+
+    /** Ring index of a polygon vertex index. */
+    def ringOf(i: Int): Int = {
+      var r = 0
+      while (ringEnds(r) <= i) r += 1
+      r
+    }
+
+    /** Edges sorted by min-x plus the max x-span, for range queries
+      * (role of the reference's maxSegLen fast-sweep-skip,
+      * reference: src/spatialjoin/Sweeper.cpp:278-284). */
+    lazy val edgeIndex: EdgeIndex = EdgeIndex.build(this, xAxis = true)
+
+    /** Same, on y — serves the +x ray cast in locate(). */
+    lazy val edgeIndexY: EdgeIndex = EdgeIndex.build(this, xAxis = false)
+  }
+
+  object G {
+    def point(px: Int, py: Int): G = new G(0, Array(px, py), Array(1))
+    def line(cs: Array[Int]): G = new G(1, cs, Array(cs.length / 2))
+    /** rings: shell first; orientation gets normalized here. */
+    def polygon(rings: Array[Array[Int]]): G = {
+      val norm = rings.zipWithIndex.map { case (ring0, idx) =>
+        // drop closing dup point if present
+        val ring =
+          if (ring0.length >= 4 && ring0(0) == ring0(ring0.length - 2) &&
+            ring0(1) == ring0(ring0.length - 1))
+            java.util.Arrays.copyOf(ring0, ring0.length - 2)
+          else ring0
+        var acc = 0L
+        val n = ring.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          acc += ring(2 * i).toLong * ring(2 * j + 1) -
+            ring(2 * j).toLong * ring(2 * i + 1)
+          i += 1
+        }
+        val wantCCW = idx == 0
+        val isCCW = acc > 0
+        if (acc == 0 || isCCW == wantCCW) ring
+        else { // reverse point order
+          val out = new Array[Int](ring.length)
+          var k = 0
+          while (k < n) {
+            out(2 * k) = ring(2 * (n - 1 - k))
+            out(2 * k + 1) = ring(2 * (n - 1 - k) + 1)
+            k += 1
+          }
+          out
+        }
+      }
+      val coords = new Array[Int](norm.map(_.length).sum)
+      val ends = new Array[Int](norm.length)
+      var off = 0
+      var r = 0
+      while (r < norm.length) {
+        System.arraycopy(norm(r), 0, coords, off, norm(r).length)
+        off += norm(r).length
+        ends(r) = off / 2
+        r += 1
+      }
+      new G(2, coords, ends)
+    }
+  }
+
+  /** Point-in-polygon result. */
+  final val OUT = 0
+  final val ON = 1
+  final val IN = 2
+
+  /** Exact ray-cast point location vs polygon with holes. */
+  def locate(px: Int, py: Int, g: G): Int = {
+    if (px < g.minX || px > g.maxX || py < g.minY || py > g.maxY) return OUT
+    var crossings = 0
+    var on = false
+    g.edgeIndexY.forRange(py, py) { e =>
+      if (!on) {
+        val i = g.edgeP(e); val j = g.edgeQ(e)
+        val ax = g.x(i); val ay = g.y(i); val bx = g.x(j); val by = g.y(j)
+        if (onSeg(px, py, ax, ay, bx, by)) on = true
+        // half-open rule: count crossings of the horizontal ray to +x
+        else if ((ay > py) != (by > py)) {
+          // ray crosses iff edge x at y=py is > px, exact sign test
+          val det = (bx - ax).toLong * (py - ay) - (by - ay).toLong * (px - ax)
+          if (by > ay) { if (det > 0) crossings += 1 }
+          else { if (det < 0) crossings += 1 }
+        }
+      }
+    }
+    if (on) ON
+    else if ((crossings & 1) == 1) IN
+    else OUT
+  }
+}
+
+/** Edges of a G sorted by min-x with the maximum edge x-span, so a query
+  * x-interval [lo,hi] scans only edges with minX in [lo - maxSpan, hi].
+  */
+final class EdgeIndex(
+    val order: Array[Int],  // edge ids sorted by edge minX
+    val minXs: Array[Int],  // sorted minX per order entry
+    val maxSpan: Int) {
+
+  /** Visit candidate edge ids whose x-range may overlap [lo,hi]. */
+  def forRange(lo: Int, hi: Int)(f: Int => Unit): Unit = {
+    val from = (lo.toLong - maxSpan).max(Int.MinValue).toInt
+    // binary search first index with minXs >= from
+    var a = 0; var b = minXs.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (minXs(m) < from) a = m + 1 else b = m
+    }
+    var i = a
+    while (i < minXs.length && minXs(i) <= hi) {
+      f(order(i))
+      i += 1
+    }
+  }
+}
+
+object EdgeIndex {
+  def build(g: Geo.G, xAxis: Boolean): EdgeIndex = {
+    val n = g.edgeCount
+    val minCs = new Array[Int](n)
+    var maxSpan = 0
+    var e = 0
+    while (e < n) {
+      val i = g.edgeP(e); val j = g.edgeQ(e)
+      val a = if (xAxis) g.x(i) else g.y(i)
+      val b = if (xAxis) g.x(j) else g.y(j)
+      val mn = math.min(a, b)
+      val span = math.abs(a - b)
+      if (span > maxSpan) maxSpan = span
+      minCs(e) = mn
+      e += 1
+    }
+    val order = Array.range(0, n).sortBy(minCs)
+    val sortedMin = order.map(minCs)
+    new EdgeIndex(order, sortedMin, maxSpan)
+  }
+}

@@ -1,0 +1,473 @@
+package graft.geom
+
+import scala.collection.mutable.ArrayBuffer
+import Geo._
+
+/** Exact predicate evaluation between single geometries.
+  *
+  * Replaces the reference's filter cascade + util exact checks
+  * (reference: src/spatialjoin/Sweeper.cpp:1662-2279, doCheck 2891-3520)
+  * with a boundary-walk algorithm on exact integer arithmetic:
+  * every non-transversal contact between a probe curve and an area's
+  * boundary happens at an integer point (some segment endpoint), so curve
+  * pieces between contacts are classified by exact wedge tests at those
+  * points; transversal (proper) crossings immediately prove interior and
+  * exterior intersection without needing rational coordinates.
+  */
+object Rel {
+
+  /** Walk result of a probe curve against an area. */
+  final class WalkRes {
+    var properCross = false // transversal crossing somewhere
+    var hasIn = false       // some 1D curve piece strictly inside the area
+    var hasOut = false      // some 1D curve piece strictly outside
+    var hasOn = false       // some 1D piece collinear on the boundary
+    var contact = false     // any contact at all (point or 1D)
+    var contactInterior = false // a contact not at the open curve's endpoints
+    def interiorHit: Boolean = properCross || hasIn
+  }
+
+  /** Walk `curve` (a line, or a polygon whose boundary is probed) against
+    * polygon `area`. */
+  def walkVsArea(curve: G, area: G, earlyOut: Boolean = false): WalkRes = {
+    val res = new WalkRes
+    // open-line endpoints, for contactInterior (rings: every contact counts)
+    val open = curve.kind == 1 && !curve.isClosedLine
+    val ce0x = curve.x(0); val ce0y = curve.y(0)
+    val cl = curve.nPoints - 1
+    val ce1x = curve.x(cl); val ce1y = curve.y(cl)
+    def markContact(vx: Int, vy: Int): Unit = {
+      res.contact = true
+      if (!open || !((vx == ce0x && vy == ce0y) || (vx == ce1x && vy == ce1y)))
+        res.contactInterior = true
+    }
+    val nSeg = curve.edgeCount
+    var seg = 0
+    val events = new ArrayBuffer[Long]()   // params (dot along segment)
+    val evX = new ArrayBuffer[Int]()
+    val evY = new ArrayBuffer[Int]()
+    val onA = new ArrayBuffer[Long]()      // on-interval starts
+    val onB = new ArrayBuffer[Long]()      // on-interval ends
+    while (seg < nSeg && !(res.properCross && res.hasOn && res.contact)) {
+      val pi = curve.edgeP(seg); val qi = curve.edgeQ(seg)
+      val px = curve.x(pi); val py = curve.y(pi)
+      val qx = curve.x(qi); val qy = curve.y(qi)
+      val dx = (qx - px).toLong; val dy = (qy - py).toLong
+      val segMinX = math.min(px, qx); val segMaxX = math.max(px, qx)
+      val segMinY = math.min(py, qy); val segMaxY = math.max(py, qy)
+      events.clear(); evX.clear(); evY.clear(); onA.clear(); onB.clear()
+      var segProper = false
+
+      // fast reject: segment bbox vs area bbox
+      val mayTouch = !(segMaxX < area.minX || segMinX > area.maxX ||
+        segMaxY < area.minY || segMinY > area.maxY)
+
+      if (mayTouch) {
+        area.edgeIndex.forRange(segMinX, segMaxX) { e =>
+          val ai = area.edgeP(e); val bi = area.edgeQ(e)
+          val ax = area.x(ai); val ay = area.y(ai)
+          val bx = area.x(bi); val by = area.y(bi)
+          if (!(math.max(ay, by) < segMinY || math.min(ay, by) > segMaxY)) {
+            val o1 = orient(ax, ay, bx, by, px, py)
+            val o2 = orient(ax, ay, bx, by, qx, qy)
+            if (o1 == 0 && o2 == 0) {
+              // collinear: projection overlap along the curve segment
+              val len2 = dx * dx + dy * dy
+              val ta = dot(ax - px, ay - py, dx, dy)
+              val tb = dot(bx - px, by - py, dx, dy)
+              val lo = math.max(math.min(ta, tb), 0L)
+              val hi = math.min(math.max(ta, tb), len2)
+              // integer point for a param (one of the 4 endpoints)
+              def pt(t: Long): (Int, Int) =
+                if (t == 0L) (px, py)
+                else if (t == len2) (qx, qy)
+                else if (t == ta) (ax, ay)
+                else (bx, by)
+              if (lo < hi) {
+                onA += lo; onB += hi; res.contact = true; res.hasOn = true
+                res.contactInterior = true
+                val (lx, ly) = pt(lo); val (hx, hy) = pt(hi)
+                events += lo; evX += lx; evY += ly
+                events += hi; evX += hx; evY += hy
+              } else if (lo == hi) { // single-point touch
+                val (vx, vy) = pt(lo)
+                events += lo; evX += vx; evY += vy
+                markContact(vx, vy)
+              }
+            } else {
+              val o3 = orient(px, py, qx, qy, ax, ay)
+              val o4 = orient(px, py, qx, qy, bx, by)
+              var ev = false
+              // endpoint-on-segment contacts (integer points)
+              if (o1 == 0 && segBetween(px, py, ax, ay, bx, by)) {
+                events += 0L; evX += px; evY += py; ev = true
+                markContact(px, py)
+              }
+              if (o2 == 0 && segBetween(qx, qy, ax, ay, bx, by)) {
+                events += dx * dx + dy * dy; evX += qx; evY += qy; ev = true
+                markContact(qx, qy)
+              }
+              if (o3 == 0 && segBetween(ax, ay, px, py, qx, qy)) {
+                events += dot(ax - px, ay - py, dx, dy); evX += ax; evY += ay
+                ev = true
+                markContact(ax, ay)
+              }
+              if (o4 == 0 && segBetween(bx, by, px, py, qx, qy)) {
+                events += dot(bx - px, by - py, dx, dy); evX += bx; evY += by
+                ev = true
+                markContact(bx, by)
+              }
+              if (!ev && o1 * o2 < 0 && o3 * o4 < 0) {
+                segProper = true
+                res.properCross = true
+                res.hasIn = true
+                res.hasOut = true
+                res.contact = true
+                res.contactInterior = true
+              }
+            }
+          }
+        }
+      }
+
+      if (!segProper && !(dx == 0 && dy == 0)) {
+        classifySegment(res, area, px, py, qx, qy, dx, dy,
+          events, evX, evY, onA, onB, mayTouch)
+      }
+      if (earlyOut && res.interiorHit && res.hasOut) return res
+      seg += 1
+    }
+    res
+  }
+
+  /** v strictly-or-inclusively between segment [a,b] given collinearity. */
+  private def segBetween(vx: Long, vy: Long, ax: Long, ay: Long,
+      bx: Long, by: Long): Boolean =
+    math.min(ax, bx) <= vx && vx <= math.max(ax, bx) &&
+      math.min(ay, by) <= vy && vy <= math.max(ay, by)
+
+  /** Classify the pieces of one curve segment split at boundary contacts. */
+  private def classifySegment(res: WalkRes, area: G,
+      px: Int, py: Int, qx: Int, qy: Int, dx: Long, dy: Long,
+      events: ArrayBuffer[Long], evX: ArrayBuffer[Int], evY: ArrayBuffer[Int],
+      onA: ArrayBuffer[Long], onB: ArrayBuffer[Long],
+      mayTouch: Boolean): Unit = {
+    val len2 = dx * dx + dy * dy
+    if (events.isEmpty && onA.isEmpty) {
+      // whole segment on one side
+      if (!mayTouch) res.hasOut = true
+      else locate(px, py, area) match {
+        case IN => res.hasIn = true
+        case OUT => res.hasOut = true
+        case ON => res.hasOn = true // defensive; shouldn't happen
+      }
+      return
+    }
+    // merge ON intervals
+    val n = onA.length
+    val idx = (0 until n).sortBy(onA(_))
+    val mA = new ArrayBuffer[Long](); val mB = new ArrayBuffer[Long]()
+    for (i <- idx) {
+      if (mA.nonEmpty && onA(i) <= mB.last) {
+        if (onB(i) > mB.last) mB(mB.length - 1) = onB(i)
+      } else { mA += onA(i); mB += onB(i) }
+    }
+    // collect split params: 0, len2, event params, interval bounds
+    val cuts = ArrayBuffer[Long](0L, len2)
+    cuts ++= events
+    cuts ++= mA
+    cuts ++= mB
+    val sorted = cuts.distinct.sorted
+    // map param -> known integer point (events only)
+    val ptOf = scala.collection.mutable.LongMap.empty[(Int, Int)]
+    var i = 0
+    while (i < events.length) {
+      if (evX(i) != Int.MinValue) ptOf(events(i)) = (evX(i), evY(i))
+      i += 1
+    }
+    def inMerged(a: Long, b: Long): Boolean = {
+      var k = 0
+      while (k < mA.length) {
+        if (mA(k) <= a && b <= mB(k)) return true
+        k += 1
+      }
+      false
+    }
+    var j = 0
+    while (j + 1 < sorted.length) {
+      val a = sorted(j); val b = sorted(j + 1)
+      if (a < b && !inMerged(a, b)) {
+        // classify piece (a,b): anchor at a known integer point if possible
+        val cls = ptOf.get(a) match {
+          case Some((vx, vy)) => dirClass(area, vx, vy, dx, dy)
+          case None =>
+            ptOf.get(b) match {
+              case Some((vx, vy)) => dirClass(area, vx, vy, -dx, -dy)
+              case None =>
+                if (a == 0L) locate(px, py, area)
+                else if (b == len2) locate(qx, qy, area)
+                else ON // unanchorable: conservative (rare sentinel case)
+            }
+        }
+        cls match {
+          case IN => res.hasIn = true
+          case OUT => res.hasOut = true
+          case ON => res.hasOn = true
+        }
+      }
+      j += 1
+    }
+    // also: piece before first cut / after last cut are covered since 0 and
+    // len2 are always cuts.
+  }
+
+  /** Does direction (dx,dy) at boundary point (vx,vy) point into the area's
+    * interior (IN), along the boundary (ON), or outside (OUT)?
+    * Interior is the intersection of all incident ring wedges (shells CCW,
+    * holes CW => interior always on the left of the directed boundary). */
+  def dirClass(area: G, vx: Int, vy: Int, dx: Long, dy: Long): Int = {
+    var anyWedge = false
+    var allIn = true
+    var anyOn = false
+    area.edgeIndex.forRange(vx, vx) { e =>
+      val ai = area.edgeP(e); val bi = area.edgeQ(e)
+      val ax = area.x(ai); val ay = area.y(ai)
+      val bx = area.x(bi); val by = area.y(bi)
+      // consider only the edge starting at its p-vertex == v, or v strictly
+      // inside the edge; this gives each incidence exactly once (the edge
+      // ENDING at v is handled as the wedge of its successor start).
+      if (ax == vx && ay == vy) {
+        // vertex wedge: incoming edge is the ring predecessor
+        val prei = ringPred(area, ai)
+        val prx = area.x(prei); val pry = area.y(prei)
+        val oxx = (bx - vx).toLong; val oyy = (by - vy).toLong // outgoing O
+        val pxx = (prx - vx).toLong; val pyy = (pry - vy).toLong // back = -I
+        anyWedge = true
+        wedgeClass(oxx, oyy, pxx, pyy, dx, dy) match {
+          case IN => ()
+          case ON => anyOn = true
+          case OUT => allIn = false
+        }
+      } else if (!(bx == vx && by == vy) &&
+          orient(ax, ay, bx, by, vx, vy) == 0 &&
+          segBetween(vx, vy, ax, ay, bx, by)) {
+        // v strictly inside edge: straight wedge, interior on the left
+        val oxx = (bx - vx).toLong; val oyy = (by - vy).toLong
+        val pxx = (ax - vx).toLong; val pyy = (ay - vy).toLong
+        anyWedge = true
+        wedgeClass(oxx, oyy, pxx, pyy, dx, dy) match {
+          case IN => ()
+          case ON => anyOn = true
+          case OUT => allIn = false
+        }
+      }
+    }
+    if (!anyWedge) locate(vx, vy, area) // not actually on boundary
+    else if (anyOn) ON
+    else if (allIn) IN
+    else OUT
+  }
+
+  /** Ring predecessor vertex index of vertex i. */
+  private def ringPred(g: G, i: Int): Int = {
+    val r = g.ringOf(i)
+    val s = g.ringStart(r)
+    if (i == s) g.ringEnds(r) - 1 else i - 1
+  }
+
+  /** Classify direction d against the wedge from O ccw to P (P = reversed
+    * incoming). Interior of the area is strictly inside that wedge. */
+  private def wedgeClass(ox: Long, oy: Long, pxx: Long, pyy: Long,
+      dx: Long, dy: Long): Int = {
+    val cOD = cross(ox, oy, dx, dy)
+    val cDP = cross(dx, dy, pxx, pyy)
+    // along either wedge arm -> ON
+    if (cOD == 0 && dot(ox, oy, dx, dy) > 0) return ON
+    if (cDP == 0 && dot(pxx, pyy, dx, dy) > 0) return ON
+    val cOP = cross(ox, oy, pxx, pyy)
+    if (cOP > 0) { // convex wedge
+      if (cOD > 0 && cDP > 0) IN else OUT
+    } else if (cOP < 0) { // reflex wedge
+      if (cOD > 0 || cDP > 0) IN else OUT
+    } else {
+      // O and P collinear: straight-through boundary or a zero-width spike
+      if (dot(ox, oy, pxx, pyy) < 0) { // straight boundary: left side is in
+        if (cOD > 0) IN else OUT
+      } else OUT // spike: empty interior
+    }
+  }
+
+  // =================================================================== line
+
+  /** Contact analysis between two lines. */
+  final class LLRes {
+    var contact = false
+    var ii0 = false // isolated interior-interior contact point
+    var ii1 = false // 1D shared piece
+    var aCovByB = false
+    var bCovByA = false
+    // boundary cell bits for DE-9IM
+    var ab_bb = false // some endpoint of A equals some endpoint of B
+    var aIntBnd = false // some endpoint of B in interior of A
+    var bIntBnd = false // some endpoint of A in interior of B
+  }
+
+  def lineLine(a: G, b: G): LLRes = {
+    val res = new LLRes
+    if (!a.bboxIntersects(b)) return res
+    val aClosed = a.isClosedLine
+    val bClosed = b.isClosedLine
+
+    def isBndA(x: Int, y: Int): Boolean = !aClosed && (
+      (x == a.x(0) && y == a.y(0)) ||
+        (x == a.x(a.nPoints - 1) && y == a.y(a.nPoints - 1)))
+    def isBndB(x: Int, y: Int): Boolean = !bClosed && (
+      (x == b.x(0) && y == b.y(0)) ||
+        (x == b.x(b.nPoints - 1) && y == b.y(b.nPoints - 1)))
+
+    // per-segment-of-a coverage intervals by b (for aCovByB), and contacts
+    val nA = a.edgeCount
+    var covA = true
+    var seg = 0
+    val onA = new ArrayBuffer[Long](); val onB = new ArrayBuffer[Long]()
+    while (seg < nA) {
+      val pi = a.edgeP(seg); val qi = a.edgeQ(seg)
+      val px = a.x(pi); val py = a.y(pi)
+      val qx = a.x(qi); val qy = a.y(qi)
+      val dx = (qx - px).toLong; val dy = (qy - py).toLong
+      val len2 = dx * dx + dy * dy
+      onA.clear(); onB.clear()
+      val sMinX = math.min(px, qx); val sMaxX = math.max(px, qx)
+      val sMinY = math.min(py, qy); val sMaxY = math.max(py, qy)
+      b.edgeIndex.forRange(sMinX, sMaxX) { e =>
+        val ai2 = b.edgeP(e); val bi2 = b.edgeQ(e)
+        val ax = b.x(ai2); val ay = b.y(ai2)
+        val bx = b.x(bi2); val by = b.y(bi2)
+        if (!(math.max(ay, by) < sMinY || math.min(ay, by) > sMaxY)) {
+          val o1 = orient(ax, ay, bx, by, px, py)
+          val o2 = orient(ax, ay, bx, by, qx, qy)
+          if (o1 == 0 && o2 == 0) {
+            val ta = dot(ax - px, ay - py, dx, dy)
+            val tb = dot(bx - px, by - py, dx, dy)
+            val lo = math.max(math.min(ta, tb), 0L)
+            val hi = math.min(math.max(ta, tb), len2)
+            if (lo < hi) { onA += lo; onB += hi; res.contact = true
+              res.ii1 = true }
+            else if (lo == hi) {
+              // endpoint touch on the shared line
+              res.contact = true
+              pointContact(res, lo, len2, px, py, dx, dy, isBndA, isBndB,
+                ax, ay, bx, by)
+            }
+          } else {
+            val o3 = orient(px, py, qx, qy, ax, ay)
+            val o4 = orient(px, py, qx, qy, bx, by)
+            var ev = false
+            if (o1 == 0 && segBetween(px, py, ax, ay, bx, by)) {
+              contactPt(res, px, py, isBndA, isBndB); ev = true
+            }
+            if (o2 == 0 && segBetween(qx, qy, ax, ay, bx, by)) {
+              contactPt(res, qx, qy, isBndA, isBndB); ev = true
+            }
+            if (o3 == 0 && segBetween(ax, ay, px, py, qx, qy)) {
+              contactPt(res, ax, ay, isBndA, isBndB); ev = true
+            }
+            if (o4 == 0 && segBetween(bx, by, px, py, qx, qy)) {
+              contactPt(res, bx, by, isBndA, isBndB); ev = true
+            }
+            if (!ev && o1 * o2 < 0 && o3 * o4 < 0) {
+              // transversal cross at segment interiors: interior of both
+              res.contact = true
+              res.ii0 = true
+            }
+          }
+        }
+      }
+      // coverage of this a-segment by b
+      if (len2 > 0) {
+        if (onA.isEmpty) covA = false
+        else {
+          val idx = (0 until onA.length).sortBy(onA(_))
+          var reach = 0L
+          var full = false
+          for (i <- idx) {
+            if (onA(i) > reach) { full = false; reach = Long.MinValue }
+            else if (reach != Long.MinValue && onB(i) > reach)
+              reach = onB(i)
+            if (reach >= len2) full = true
+          }
+          if (!full) covA = false
+        }
+      }
+      seg += 1
+    }
+    res.aCovByB = covA && nA > 0
+
+    // bCovByA via a reduced pass (coverage only)
+    res.bCovByA = coveredBy(b, a)
+    res
+  }
+
+  /** Pure 1D coverage: every point of `inner` on `outer`. */
+  def coveredBy(inner: G, outer: G): Boolean = {
+    val n = inner.edgeCount
+    var seg = 0
+    val onA = new ArrayBuffer[Long](); val onB = new ArrayBuffer[Long]()
+    while (seg < n) {
+      val pi = inner.edgeP(seg); val qi = inner.edgeQ(seg)
+      val px = inner.x(pi); val py = inner.y(pi)
+      val qx = inner.x(qi); val qy = inner.y(qi)
+      val dx = (qx - px).toLong; val dy = (qy - py).toLong
+      val len2 = dx * dx + dy * dy
+      if (len2 > 0) {
+        onA.clear(); onB.clear()
+        val sMinX = math.min(px, qx); val sMaxX = math.max(px, qx)
+        outer.edgeIndex.forRange(sMinX, sMaxX) { e =>
+          val ai2 = outer.edgeP(e); val bi2 = outer.edgeQ(e)
+          val ax = outer.x(ai2); val ay = outer.y(ai2)
+          val bx = outer.x(bi2); val by = outer.y(bi2)
+          val o1 = orient(ax, ay, bx, by, px, py)
+          val o2 = orient(ax, ay, bx, by, qx, qy)
+          if (o1 == 0 && o2 == 0) {
+            val ta = dot(ax - px, ay - py, dx, dy)
+            val tb = dot(bx - px, by - py, dx, dy)
+            val lo = math.max(math.min(ta, tb), 0L)
+            val hi = math.min(math.max(ta, tb), len2)
+            if (lo < hi) { onA += lo; onB += hi }
+          }
+        }
+        if (onA.isEmpty) return false
+        val idx = (0 until onA.length).sortBy(onA(_))
+        var reach = 0L
+        for (i <- idx) {
+          if (onA(i) > reach) return false
+          if (onB(i) > reach) reach = onB(i)
+        }
+        if (reach < len2) return false
+      }
+      seg += 1
+    }
+    true
+  }
+
+  private def pointContact(res: LLRes, t: Long, len2: Long,
+      px: Int, py: Int, dx: Long, dy: Long,
+      isBndA: (Int, Int) => Boolean, isBndB: (Int, Int) => Boolean,
+      eax: Int, eay: Int, ebx: Int, eby: Int): Unit = {
+    // the touch point is one of the b-edge endpoints (integer); find which
+    val vx = if (dot(eax - px, eay - py, dx, dy) == t) eax else ebx
+    val vy = if (dot(eax - px, eay - py, dx, dy) == t) eay else eby
+    contactPt(res, vx, vy, isBndA, isBndB)
+  }
+
+  private def contactPt(res: LLRes, vx: Int, vy: Int,
+      isBndA: (Int, Int) => Boolean, isBndB: (Int, Int) => Boolean): Unit = {
+    res.contact = true
+    val bA = isBndA(vx, vy)
+    val bB = isBndB(vx, vy)
+    if (bA && bB) res.ab_bb = true
+    else if (bA && !bB) res.bIntBnd = true // endpoint of A interior to B...
+    else if (!bA && bB) res.aIntBnd = true
+    else res.ii0 = true
+  }
+}
