@@ -1,24 +1,82 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.engine.{SpatialConfig, SpatialJoin, SynthGeo}
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *    "spatial":{...incl. N-vs-4N scaling efficiency...},"sf":"..."}
+  *
+  * The spatial section runs the self-join on deterministic synthetic
+  * OSM-like geometries at two parallelism levels (local[N] and local[4N])
+  * on identical input — the sandbox stand-in for the north rule's
+  * two-cluster-size scaling evidence (see BASELINE.md).
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One spatial self-join run; returns (seconds, relations). */
+  private def spatialRun(spark: SparkSession, nGeoms: Long): (Double, Long) = {
+    val geoms = SynthGeo.dataset(spark, nGeoms)
+    import spark.implicits._
+    val refs = spark.emptyDataset[graft.engine.RefEdge]
+    val t0 = System.nanoTime()
+    val rels = SpatialJoin.run(spark, geoms, refs, SpatialConfig())
+    val n = rels.count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val sf = sfDir.split("sf").last.toDoubleOption.getOrElse(0.1)
+    val nGeoms = math.max(20000L, (2000000 * sf).toLong) // 200k at sf0.1
+
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // warm spatial run at the configured parallelism (also the headline)
+    val (tMain, nRels) = spatialRun(spark, nGeoms)
     spark.stop()
+
+    // N vs 4N scaling on identical input (fresh sessions)
+    val nLow = math.max(2, cpus / 4)
+    spark = session(nLow)
+    val (tLow, _) = spatialRun(spark, nGeoms)
+    spark.stop()
+    spark = session(cpus)
+    val (tHigh, _) = spatialRun(spark, nGeoms)
+    spark.stop()
+
+    val eff = (tLow / tHigh) / (cpus.toDouble / nLow)
+    val pairsPerSec = nRels / tMain
+    val geomsPerSec = nGeoms / tMain
+    val spatial =
+      s"""{"n_geoms":$nGeoms,"relations":$nRels,"join_sec":$tMain,""" +
+        s""""relations_per_sec":$pairsPerSec,"geoms_per_sec":$geomsPerSec,""" +
+        s""""cores_low":$nLow,"cores_high":$cpus,"sec_low":$tLow,""" +
+        s""""sec_high":$tHigh,"scaling_efficiency":$eff}"""
+
+    println(s"""{"metric":"total","value":${total + tMain},"unit":"sec",""" +
+      s""""queries":$qs,"spatial":$spatial,"sf":"$sfDir"}""")
   }
 }

@@ -18,9 +18,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.QueryPack.queries ++ graft.engine.SpatialQueries.queries
+    graft.queries.QueryPack.queries ++
+      graft.engine.SpatialQueries.queries ++
+      graft.ops.TextSim.queries
 
   /** DuckDB twins for the SQL-expressible queries. */
   def oracleSql: Map[String, String] =
-    graft.queries.QueryPack.oracles ++ graft.engine.SpatialQueries.oracles
+    graft.queries.QueryPack.oracles ++
+      graft.engine.SpatialQueries.oracles ++
+      graft.ops.TextSim.oracles
 }

@@ -1,0 +1,105 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{Geo, Wkt}
+
+/** One sub-geometry row (multi-geometries and collections decomposed;
+  * subId = 0 means "single geometry", like the reference's subId
+  * discipline, reference: src/spatialjoin/Sweeper.cpp:71-159). */
+final case class SubGeom(
+    gid: String,
+    side: Int,
+    subId: Int,
+    nSubs: Int,
+    kind: Int, // 0 point, 1 line, 2 polygon
+    coords: Array[Int],
+    ringEnds: Array[Int],
+    minX: Int, minY: Int, maxX: Int, maxY: Int)
+
+/** One alias edge: `referer` declared as <...,target,...>; subId/nSubs are
+  * the referer's slot discipline (single-target ref => subId 0).
+  * (reference: src/spatialjoin/WKTParse.h:143-173, Sweeper.cpp:739-745) */
+final case class RefEdge(
+    referer: String,
+    side: Int,
+    target: String,
+    subId: Int,
+    nSubs: Int)
+
+object Model {
+
+  def toG(kind: Int, coords: Array[Int], ringEnds: Array[Int]): Geo.G =
+    new Geo.G(kind, coords, ringEnds)
+
+  def subGeomsOf(row: Wkt.Row): Seq[SubGeom] = {
+    val n = row.subs.length
+    row.subs.zipWithIndex.map { case (g, i) =>
+      val subId = if (n == 1) 0 else i + 1
+      SubGeom(row.gid, row.side, subId, n, g.kind, g.coords, g.ringEnds,
+        g.minX, g.minY, g.maxX, g.maxY)
+    }
+  }
+
+  def refEdgesOf(row: Wkt.Row): Seq[RefEdge] = {
+    val n = row.refs.length
+    row.refs.zipWithIndex.map { case (t, i) =>
+      RefEdge(row.gid, row.side, t, if (n == 1) 0 else i + 1, n)
+    }
+  }
+
+  /** Parse a Dataset of raw fixture lines `id \t [side \t] WKT-or-<refs>`
+    * into sub-geometries + alias edges. */
+  def parseLines(spark: SparkSession, lines: Dataset[String])
+      : (Dataset[SubGeom], Dataset[RefEdge]) = {
+    import spark.implicits._
+    val rows = lines.rdd.zipWithIndex.flatMap { case (l, i) =>
+      Wkt.parseLine(l, i + 1)
+    }
+    val geoms = spark.createDataset(rows.flatMap(subGeomsOf))
+    val refs = spark.createDataset(rows.flatMap(refEdgesOf))
+    (geoms, refs)
+  }
+}
+
+/** The graft input table shape (BASELINE.json input_hint):
+  * (url, warc_ts, html, text, lang). Geometries are embedded in `text`;
+  * `url` carries the geometry id. Deterministic synthesis for tests and
+  * benchmarks; the extractor must re-emit `text` byte-identically.
+  */
+object Pages {
+
+  final val EPOCH = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  /** Build the pages table from raw fixture lines. The full fixture line is
+    * the page `text` (so extraction = WKT parse of text); url embeds the id. */
+  def fromFixtureLines(spark: SparkSession, dataset: String,
+      lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    lines.zipWithIndex.toDF("text", "idx")
+      .select(
+        concat(lit(s"https://fixture.test/$dataset/"),
+          encodeUrl(split(col("text"), "\t").getItem(0))).as("url"),
+        expr("timestampadd(SECOND, idx, timestamp'2024-01-01 00:00:00')")
+          .as("warc_ts"),
+        concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+          .cast("binary").as("html"),
+        col("text"),
+        lit("en").as("lang"))
+  }
+
+  private def encodeUrl(c: org.apache.spark.sql.Column) =
+    base64(c.cast("binary"))
+
+  /** pages -> (geometries, refs). gid is recovered from the fixture line
+    * embedded in `text` (id column inside text), NOT from the url, so ids
+    * round-trip byte-identically. */
+  def extract(spark: SparkSession, pages: DataFrame)
+      : (Dataset[SubGeom], Dataset[RefEdge]) = {
+    import spark.implicits._
+    val lines = pages.select(col("text")).as[String]
+    // line numbers are only the default-id fallback; fixture pages always
+    // carry explicit ids, so zipWithIndex determinism is not relied upon.
+    Model.parseLines(spark, lines)
+  }
+}

@@ -1,13 +1,149 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.Geo
 
-/** Spatial engine queries registered with the harness. Filled in as the
-  * engine layers land (extraction, candidate join, refinement, aggregation).
-  * WKT-predicate results are fixture-verified in ScalaTest; entries here are
-  * rows-only checks unless a plain-SQL oracle exists.
+/** Spatial engine queries registered with the harness.
+  *
+  * Two families:
+  *  - fixture-backed WKT joins (predicates / de9im / distance / refs) whose
+  *    real oracle is the ported reference assertion suite in ScalaTest —
+  *    registered here as rows-only checks;
+  *  - synthetic lon/lat point operators (projection, tiles, distance join,
+  *    kNN) that run REAL engine code (Geo projection, SpatialJoin distance
+  *    mode, Tiles, Knn) and have exact DuckDB twins via trig arithmetic.
   */
 object SpatialQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private def fixtureLines(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/datasets/$name")
+    require(in != null, s"missing fixture $name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().toList finally src.close()
+  }
+
+  /** Fixture WKT lines -> pages table -> extraction -> spatial join. */
+  private def fixtureJoin(spark: SparkSession, name: String,
+      cfg: SpatialConfig): DataFrame = {
+    val pages = Pages.fromFixtureLines(spark, name, fixtureLines(name))
+    val (geoms, refs) = Pages.extract(spark, pages)
+    SpatialJoin.run(spark, geoms, refs, cfg)
+  }
+
+  /** Deterministic lon/lat points from orders, projected with the engine's
+    * int web-mercator projection (graft.geom.Geo). */
+  private def pts(s: SparkSession, dir: String): DataFrame = {
+    val px = udf((lon: Double) => Geo.projX(lon))
+    val py = udf((lat: Double) => Geo.projY(lat))
+    s.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderkey").as("gid"),
+      (((col("o_orderkey") * 7919) % 360000) / 1000.0 - 180.0).as("lon"),
+      (((col("o_orderkey") * 104729) % 160000) / 1000.0 - 80.0).as("lat"))
+      .select(col("gid"), px(col("lon")).as("x"), py(col("lat")).as("y"))
+  }
+
+  private val sqlPts =
+    """SELECT o_orderkey AS gid,
+      | CAST(trunc((((o_orderkey * 7919) % 360000) / 1000.0 - 180.0)
+      |   / 180.0 * 20037508.3427892 * 10.0) AS BIGINT) AS x,
+      | CAST(trunc(ln(tan((90.0 + (((o_orderkey * 104729) % 160000) / 1000.0 - 80.0))
+      |   * pi() / 360.0)) / pi() * 20037508.3427892 * 10.0) AS BIGINT) AS y
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------------------- queries
+
+  def spProjectPoints(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).select(col("gid"), col("x"), col("y"))
+
+  def spPointTiles(s: SparkSession, dir: String): DataFrame = {
+    val cs = 100000000L // ~10,000 km tiles -> a few dozen world tiles
+    val w2 = lit(Geo.WORLD_W / 2)
+    pts(s, dir)
+      .select(col("gid"), floor((col("x") + w2) / cs).as("tx"),
+        floor((col("y") + w2) / cs).as("ty"))
+      .groupBy(col("tx"), col("ty"))
+      .agg(count(lit(1)).as("n"), min(col("gid")).as("min_gid"))
+  }
+
+  /** Within-distance self-join in meters through the engine's distance
+    * pipeline (candidate cells + exact refine + min-aggregation). */
+  def spDistJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 100000.0 // 100 km
+    val geoms = pts(s, dir)
+      .select(col("gid").as("_1"), col("x").as("_2"), col("y").as("_3"))
+      .as[(Long, Int, Int)].map { case (gid, x, y) =>
+        SubGeom(gid.toString, 0, 0, 1, 0, Array(x, y), Array(1), x, y, x, y)
+      }
+    val refs = s.emptyDataset[RefEdge]
+    val rels = SpatialJoin.run(s, geoms, refs,
+      SpatialConfig(mode = "distance", withinDist = d))
+    rels.filter(col("a_id").cast("long") < col("b_id").cast("long"))
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("b_id").cast("long").as("b_gid"),
+        round(col("dist"), 3).as("dist_m"))
+  }
+
+  /** kNN (k=3) for a 1% query sample over the projected points. */
+  def spKnn(s: SparkSession, dir: String): DataFrame =
+    Knn.pointKnn(s, pts(s, dir), col("gid") % 100 === 0, 3)
+      .select(col("q_gid").cast("long").as("q_gid"),
+        col("gid").cast("long").as("gid"), col("dist2"), col("rk"))
+
+  // fixture joins (rows-only; the assertion-suite in ScalaTest is the oracle)
+  def spFixture(name: String, cfg: SpatialConfig)(
+      s: SparkSession, dir: String): DataFrame = fixtureJoin(s, name, cfg)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp_project" -> (spProjectPoints _),
+    "sp_tiles" -> (spPointTiles _),
+    "sp_dist_join" -> (spDistJoin _),
+    "sp_knn" -> (spKnn _),
+    "sp_join_example" -> spFixture("example_id.txt", SpatialConfig()),
+    "sp_join_refs" -> spFixture("references", SpatialConfig()),
+    "sp_join_multi" -> spFixture("multitests", SpatialConfig()),
+    "sp_de9im_example" -> spFixture("example_id.txt",
+      SpatialConfig(mode = "de9im")),
+    "sp_dist_refs" -> spFixture("references",
+      SpatialConfig(mode = "distance", withinDist = 1000))
+  )
+
+  // the meter-distance formula as SQL (factor at closest-pair midpoint,
+  // for points = the two points' midpoint)
+  private val sqlMeters =
+    """sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) / 10.0 *
+      | cos(2*atan(exp(((a.y+b.y)/2.0/10.0) * pi() / 20037508.3427892)) - pi()/2)"""
+      .stripMargin.replace("\n", "")
+
+  val oracles: Map[String, String] = Map(
+    "sp_project" ->
+      s"""WITH p AS ($sqlPts) SELECT gid, x, y FROM p""",
+    "sp_tiles" ->
+      s"""WITH p AS ($sqlPts)
+         |SELECT CAST(floor((x + 200375083.427892) / 100000000.0) AS BIGINT) AS tx,
+         |       CAST(floor((y + 200375083.427892) / 100000000.0) AS BIGINT) AS ty,
+         |       count(*) AS n, min(gid) AS min_gid
+         |FROM p GROUP BY 1, 2""".stripMargin,
+    "sp_dist_join" ->
+      s"""WITH p AS ($sqlPts)
+         |SELECT a.gid AS a_gid, b.gid AS b_gid,
+         |  round($sqlMeters, 3) AS dist_m
+         |FROM p a JOIN p b
+         |  ON a.gid < b.gid
+         | AND b.x BETWEEN a.x - 6000000 AND a.x + 6000000
+         | AND b.y BETWEEN a.y - 6000000 AND a.y + 6000000
+         |WHERE $sqlMeters <= 100000.0""".stripMargin,
+    "sp_knn" ->
+      s"""WITH p AS ($sqlPts),
+         |q AS (SELECT gid AS q_gid, x AS qx, y AS qy FROM p WHERE gid % 100 = 0)
+         |SELECT q_gid, gid, dist2, rk FROM (
+         | SELECT q.q_gid, p.gid,
+         |  (p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) AS dist2,
+         |  row_number() OVER (PARTITION BY q.q_gid
+         |    ORDER BY (p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) ASC,
+         |             p.gid ASC) AS rk
+         | FROM p CROSS JOIN q WHERE p.gid <> q.q_gid)
+         |WHERE rk <= 3""".stripMargin
+  )
 }

@@ -57,7 +57,9 @@ object Dist {
   }
 
   /** Min meter distance between two single geometries; 0 if intersecting.
-    * `maxMeters < 0` means unbounded. */
+    * Prunes segment pairs via the x-sorted edge index and the running best
+    * (role of the reference's maxEuclideanDist pruning in util withinDist,
+    * used at src/spatialjoin/Sweeper.cpp:4040-4043). */
   def geomDist(a: G, b: G): Double = {
     // intersection => 0 (cheap: use predicates)
     if (a.bboxIntersects(b) && Relate.relate(a, b).isect) return 0.0
@@ -65,19 +67,53 @@ object Dist {
     var bestD2 = Double.MaxValue
     var bestMidY = 0.0
 
-    def segsOf(g: G): Iterator[(Int, Int, Int, Int)] =
-      if (g.kind == 0) Iterator((g.x(0), g.y(0), g.x(0), g.y(0)))
-      else (0 until g.edgeCount).iterator.map { e =>
+    // quick seed: bbox-corner distance upper bound via closest vertices of
+    // the first segments — just start from +inf and prune with x-distance.
+    val (outer, inner) = if (a.edgeCount >= b.edgeCount) (a, b) else (b, a)
+
+    def segOf(g: G, e: Int): (Int, Int, Int, Int) =
+      if (g.kind == 0) (g.x(0), g.y(0), g.x(0), g.y(0))
+      else {
         val i = g.edgeP(e); val j = g.edgeQ(e)
         (g.x(i), g.y(i), g.x(j), g.y(j))
       }
 
-    // point-in-polygon: a point/line/poly could be strictly inside the other
-    // polygon without touching boundary (distance 0 handled by isect above;
-    // disjoint interiors guaranteed here)
-    for ((ax, ay, bx, by) <- segsOf(a); (cx, cy, dx0, dy0) <- segsOf(b)) {
-      val (d2, midY) = segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
-      if (d2 < bestD2) { bestD2 = d2; bestMidY = midY }
+    val nOut = math.max(1, outer.edgeCount)
+    var e = 0
+    while (e < nOut) {
+      val (ax, ay, bx, by) = segOf(outer, e)
+      val sMinX = math.min(ax, bx); val sMaxX = math.max(ax, bx)
+      val sMinY = math.min(ay, by); val sMaxY = math.max(ay, by)
+      // x-gap lower bound vs inner bbox
+      val xGap = math.max(0, math.max(inner.minX - sMaxX, sMinX - inner.maxX))
+        .toDouble
+      val yGap = math.max(0, math.max(inner.minY - sMaxY, sMinY - inner.maxY))
+        .toDouble
+      if (xGap * xGap + yGap * yGap < bestD2) {
+        val best = math.sqrt(bestD2)
+        val reach = if (best > Int.MaxValue.toDouble) Int.MaxValue
+          else best.toInt + 1
+        if (inner.kind == 0) {
+          val (cx, cy, dx0, dy0) = segOf(inner, 0)
+          val (d2, midY) = segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
+          if (d2 < bestD2) { bestD2 = d2; bestMidY = midY }
+        } else {
+          inner.edgeIndex.forRange(
+            (sMinX.toLong - reach).max(Int.MinValue).toInt,
+            (sMaxX.toLong + reach).min(Int.MaxValue).toInt) { e2 =>
+            val i2 = inner.edgeP(e2); val j2 = inner.edgeQ(e2)
+            val cx = inner.x(i2); val cy = inner.y(i2)
+            val dx0 = inner.x(j2); val dy0 = inner.y(j2)
+            val yLo = math.min(cy, dy0); val yHi = math.max(cy, dy0)
+            val yg = math.max(0, math.max(yLo - sMaxY, sMinY - yHi)).toDouble
+            if (yg * yg < bestD2) {
+              val (d2, midY) = segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
+              if (d2 < bestD2) { bestD2 = d2; bestMidY = midY }
+            }
+          }
+        }
+      }
+      e += 1
     }
     if (bestD2 == Double.MaxValue) Double.MaxValue
     else math.sqrt(bestD2) / PREC * distFactor(bestMidY / PREC)

@@ -111,9 +111,12 @@ object Geo {
       acc
     }
 
-    /** Closed linestring => empty boundary (OGC mod-2 rule). */
-    def isClosedLine: Boolean =
-      kind == 1 && nPoints > 1 && x(0) == x(nPoints - 1) && y(0) == y(nPoints - 1)
+    /** The reference treats a line's first/last points as its boundary even
+      * when the line is closed (no OGC mod-2 rule): the closed `grenzpart`
+      * fixture's DE-9IM has BB=0 against freiburg1
+      * (reference tests/TestMain.cpp:829-833). Always false, kept for
+      * documentation. */
+    def isClosedLine: Boolean = false
 
     def bboxIntersects(o: G): Boolean =
       !(o.minX > maxX || o.maxX < minX || o.minY > maxY || o.maxY < minY)

@@ -22,6 +22,9 @@ object Rel {
     var hasIn = false       // some 1D curve piece strictly inside the area
     var hasOut = false      // some 1D curve piece strictly outside
     var hasOn = false       // some 1D piece collinear on the boundary
+    var hasOnOpposite = false // ON piece with anti-parallel boundary
+                              // direction: the two interiors lie on opposite
+                              // sides (e.g. a polygon exactly filling a hole)
     var contact = false     // any contact at all (point or 1D)
     var contactInterior = false // a contact not at the open curve's endpoints
     def interiorHit: Boolean = properCross || hasIn
@@ -86,6 +89,7 @@ object Rel {
               if (lo < hi) {
                 onA += lo; onB += hi; res.contact = true; res.hasOn = true
                 res.contactInterior = true
+                if (dot(bx - ax, by - ay, dx, dy) < 0) res.hasOnOpposite = true
                 val (lx, ly) = pt(lo); val (hx, hy) = pt(hi)
                 events += lo; evX += lx; evY += ly
                 events += hi; evX += hx; evY += hy

@@ -108,7 +108,8 @@ object Relate {
     PairRel(
       isect = w.contact || ii,
       aCovByB = covered, bCovByA = false,
-      aContInB = covered && !w.contact, bContInA = false,
+      // OGC contains: covered and not entirely on the boundary
+      aContInB = covered && ii, bContInA = false,
       touches = w.contact && !ii,
       crosses = ii && w.hasOut,
       overlaps = false,
@@ -120,15 +121,24 @@ object Relate {
       return PairRel(false, false, false, false, false, false, false, false, false)
     val wA = Rel.walkVsArea(a, b) // a's boundary vs b
     val wB = Rel.walkVsArea(b, a)
-    val aCov = !wA.properCross && !wA.hasOut && !wB.hasIn
-    val bCov = !wB.properCross && !wB.hasOut && !wA.hasIn
+    // an anti-parallel shared boundary piece proves the interiors lie on
+    // opposite sides there (e.g. a polygon exactly filling a hole) — it
+    // rules out coverage in both directions.
+    val opp = wA.hasOnOpposite || wB.hasOnOpposite
+    val aCov = !wA.properCross && !wA.hasOut && !wB.hasIn && !opp
+    val bCov = !wB.properCross && !wB.hasOut && !wA.hasIn && !opp
     val ii = wA.properCross || wA.hasIn || wB.hasIn ||
       (aCov && a.area2 != 0) || (bCov && b.area2 != 0)
     val contact = wA.contact || wB.contact
     PairRel(
       isect = ii || contact,
       aCovByB = aCov, bCovByA = bCov,
-      aContInB = aCov && !contact, bContInA = bCov && !contact,
+      // OGC contains for areas: covered + interiors intersect (equal
+      // polygons contain each other; degenerate zero-area ones don't).
+      // Matches the reference's equal-area shortcut writes
+      // (Sweeper.cpp:2929-2947) and TestD1/TestD2 assertions.
+      aContInB = aCov && ii && a.area2 != 0,
+      bContInA = bCov && ii && b.area2 != 0,
       touches = contact && !ii,
       crosses = false,
       overlaps = ii && !aCov && !bCov,
@@ -255,8 +265,9 @@ object Relate {
   private def de9imAreaArea(a: G, b: G): Mat = {
     val wA = Rel.walkVsArea(a, b)
     val wB = Rel.walkVsArea(b, a)
-    val aCov = !wA.properCross && !wA.hasOut && !wB.hasIn
-    val bCov = !wB.properCross && !wB.hasOut && !wA.hasIn
+    val opp = wA.hasOnOpposite || wB.hasOnOpposite
+    val aCov = !wA.properCross && !wA.hasOut && !wB.hasIn && !opp
+    val bCov = !wB.properCross && !wB.hasOut && !wA.hasIn && !opp
     val ii = wA.properCross || wA.hasIn || wB.hasIn ||
       (aCov && a.area2 != 0) || (bCov && b.area2 != 0)
     val contact = wA.contact || wB.contact

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over the documents table.
+  *
+  * All operators here are deliberately expressed with engine-portable
+  * primitives (md5, string min/agg, array ops) so each has an exact DuckDB
+  * twin: minhash signatures are *lexicographic minima of salted md5
+  * strings* rather than modular-arithmetic hashes — same LSH guarantees,
+  * zero cross-engine hash drift.
+  */
+object TextSim {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** word 3-gram shingles per doc. */
+  private def shingles(d: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    d.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", col("w")(i), col("w")(i + 1), col("w")(i + 2))))
+        .as("sh"))
+  }
+
+  /** MinHash signatures: k salted-md5 minima per doc. */
+  def minhashSigs(s: SparkSession, dir: String, k: Int = 12): DataFrame =
+    shingles(docs(s, dir))
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i"), lit(":"), col("sh")))).as("sig"))
+
+  /** LSH banding: band value = md5 of the band's r sigs in i-order. */
+  def minhashBands(s: SparkSession, dir: String, k: Int = 12, r: Int = 3)
+      : DataFrame =
+    minhashSigs(s, dir, k)
+      .withColumn("band", (col("i") / r).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+          x => x.getField("sig")))).as("bv"))
+
+  /** Candidate pairs from shared LSH buckets, verified with exact word
+    * 3-gram jaccard; emits pairs with jaccard >= 0.5. */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    val cands = bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingles(docs(s, dir)).distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni") / (col("na") + col("nb") - col("ni")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** 16-dim SimHash from md5 hex-digit signs of whitespace tokens. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", md5(col("w")))
+    val dims = toks.select(col("doc_id"), col("h"),
+      explode(sequence(lit(0), lit(15))).as("d"))
+      .withColumn("bit",
+        when(substring(col("h"), col("d") + 1, lit(1))
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("d"))
+      .agg(sum(col("bit")).as("v"))
+      .withColumn("c", when(col("v") > 0, "1").otherwise("0"))
+    dims.groupBy(col("doc_id"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          x => x.getField("c"))).as("simhash"))
+  }
+
+  /** Exact word-3-gram jaccard for a deterministic pair sample. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(s, dir)).distinct()
+    val a = sh.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.filter(col("doc_id") % 25 === 5)
+      .select(col("doc_id").as("doc_b"), col("sh"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    a.join(b, Seq("sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni") / (col("na") + col("nb") - col("ni")), 4).as("jaccard"))
+      .filter(col("jaccard") > 0)
+  }
+
+  /** Embedding cosine similarity pairs (brute force over a sample) —
+    * near-duplicate detection on the embeddings table. */
+  def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorm = e.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val a = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("norm").as("na")).filter(col("a_id") % 5 === 0)
+    val b = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("norm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(
+          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")),
+          4).as("cosine"))
+      .filter(col("cosine") >= 0.15)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_minhash_lsh" -> (minhashDedup _),
+    "q18_simhash" -> (simhash _),
+    "q19_ngram_jaccard" -> (ngramJaccard _),
+    "q20_cosine_pairs" -> (cosinePairs _)
+  )
+
+  private val shinglesSql =
+    """SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(w) >= 3""".stripMargin
+
+  private val bandsSql =
+    s"""WITH shingles AS ($shinglesSql),
+       |sigs AS (
+       | SELECT doc_id, i, min(md5(i || ':' || sh)) AS sig
+       | FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS i)
+       | GROUP BY doc_id, i),
+       |bands AS (
+       | SELECT doc_id, i // 3 AS band,
+       |        md5(string_agg(sig, ',' ORDER BY i)) AS bv
+       | FROM sigs GROUP BY doc_id, i // 3)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q17_minhash_lsh" ->
+      s"""$bandsSql,
+         |cands AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS ni
+         | FROM cands c
+         | JOIN sh sa ON sa.doc_id = c.doc_a
+         | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         | GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) >= 0.5"""
+        .stripMargin,
+    "q18_simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        | FROM documents),
+        |dims AS (
+        | SELECT doc_id, d,
+        |  CASE WHEN sum(CASE WHEN substr(h, CAST(d+1 AS INTEGER), 1)
+        |    IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+        |   THEN '1' ELSE '0' END AS c
+        | FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS d)
+        | GROUP BY doc_id, d)
+        |SELECT doc_id, string_agg(c, '' ORDER BY d) AS simhash
+        |FROM dims GROUP BY doc_id""".stripMargin,
+    "q19_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         | SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+         | FROM sh sa JOIN sh sb ON sa.sh = sb.sh
+         | WHERE sa.doc_id % 25 = 0 AND sb.doc_id % 25 = 5
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) > 0"""
+        .stripMargin,
+    "q20_cosine_pairs" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_sum(list_transform(range(1, CAST(len(a.v)+1 AS INTEGER)),
+        |   i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 4) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 5 = 0
+        |  AND round(list_sum(list_transform(range(1, CAST(len(a.v)+1 AS INTEGER)),
+        |   i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 4) >= 0.15"""
+        .stripMargin
+  )
+}

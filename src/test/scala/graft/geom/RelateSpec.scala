@@ -51,12 +51,11 @@ class RelateSpec extends AnyFunSuite {
     assert(g(2).area2 == g(3).area2)
   }
 
-  test("covered sharing boundary: covers but not strict contains (1 vs 2)") {
-    val r = rel(1, 2)
-    assert(r.isect && r.aCovByB && r.bCovByA == false || true)
+  test("covered sharing boundary: covers and OGC contains (1 vs 2)") {
     val r12 = rel(1, 2)
     assert(r12.bCovByA, "1 covers 2") // 2 is subset of 1
-    assert(!r12.bContInA, "strict contains fails on shared boundary")
+    assert(r12.bContInA, "OGC contains: interiors intersect")
+    assert(!r12.aCovByB, "2 does not cover 1")
     assert(!r12.touches)
   }
 
@@ -67,7 +66,7 @@ class RelateSpec extends AnyFunSuite {
 
   test("square inside polygon touching from inside (5 covers 4, no touch)") {
     val r = rel(5, 4)
-    assert(r.isect && r.bCovByA && !r.bContInA && !r.touches && !r.overlaps)
+    assert(r.isect && r.bCovByA && r.bContInA && !r.touches && !r.overlaps)
   }
 
   test("line on hole boundary touches holed polygon (2 vs 6)") {
