@@ -20,11 +20,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueryPack.queries ++
       graft.engine.SpatialQueries.queries ++
-      graft.ops.TextSim.queries
+      graft.ops.TextSim.queries ++
+      graft.ops.Ann.queries ++
+      graft.ops.Multimodal.queries
 
   /** DuckDB twins for the SQL-expressible queries. */
   def oracleSql: Map[String, String] =
     graft.queries.QueryPack.oracles ++
       graft.engine.SpatialQueries.oracles ++
-      graft.ops.TextSim.oracles
+      graft.ops.TextSim.oracles ++
+      graft.ops.Ann.oracles ++
+      graft.ops.Multimodal.oracles
 }

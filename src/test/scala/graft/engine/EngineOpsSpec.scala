@@ -1,0 +1,129 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Snapshots/checkpoint, pages byte-identity invariant, multimodal stubs,
+  * and Structured Streaming semantics. */
+class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("engine-ops")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("snapshot write/read round-trip with lineage metrics") {
+    val root = java.nio.file.Files.createTempDirectory("snap").toString
+    val df = spark.range(0, 1000, 1, 4).toDF("id")
+    val s0 = Snapshots.write(spark, df, root, "fp-a")
+    assert(s0.id == 0 && s0.rows == 1000 && s0.bytes > 0)
+    assert(s0.partRows.values.sum == 1000 && s0.partRows.size == 4)
+    val back = Snapshots.read(spark, root)
+    assert(back.count() == 1000)
+    assert(back.columns.toSeq == Seq("id"))
+    val s1 = Snapshots.write(spark, df.filter(col("id") < 10), root, "fp-b")
+    assert(s1.id == 1 && s1.parent == 0 && s1.rows == 10)
+    assert(Snapshots.read(spark, root).count() == 10)
+    assert(Snapshots.read(spark, root, 0).count() == 1000)
+  }
+
+  test("checkpoint resume skips recompute on matching fingerprint") {
+    val root = java.nio.file.Files.createTempDirectory("stage").toString
+    var computes = 0
+    def job() = Snapshots.stage(spark, root, "input-v1") {
+      computes += 1
+      spark.range(0, 50).toDF("id")
+    }
+    assert(job().count() == 50)
+    assert(job().count() == 50)
+    assert(computes == 1, "second run must resume from the snapshot")
+    // changed input fingerprint -> recompute
+    Snapshots.stage(spark, root, "input-v2") {
+      computes += 1
+      spark.range(0, 7).toDF("id")
+    }
+    assert(computes == 2)
+  }
+
+  test("pages table: extracted text is byte-identical per url") {
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/datasets/example_id.txt"), "UTF-8")
+      .getLines().toList
+    val pages = Pages.fromFixtureLines(spark, "example", lines)
+    val texts = pages.select(col("url"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts.size == lines.size)
+    // regenerating yields identical bytes per url (determinism invariant)
+    val again = Pages.fromFixtureLines(spark, "example", lines)
+      .select(col("url"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == texts)
+    // and the text column IS the raw fixture line
+    assert(texts.values.toSet == lines.toSet)
+  }
+
+  test("multimodal stub plumbing: schema, batching, deterministic decode") {
+    val s = spark
+    import s.implicits._
+    val media = s.createDataset(Seq(
+      graft.ops.Multimodal.MediaRow(1L, Array.fill[Byte](300)(7)),
+      graft.ops.Multimodal.MediaRow(2L, Array.fill[Byte](601)(3))))
+    val feats = graft.ops.Multimodal.imageFeatures(spark, media).collect()
+    assert(feats.length == 2)
+    val f1 = feats.find(_.doc_id == 1L).get
+    assert(f1.n_bytes == 300 && f1.width == 16 + 300 % 240)
+    assert(f1.hist.length == 8 && math.abs(f1.hist.sum - 1f) < 1e-5)
+    val frames = graft.ops.Multimodal
+      .frameSample(spark, media, frameBytes = 100, every = 2).collect()
+    assert(frames.nonEmpty)
+  }
+
+  test("structured streaming: watermarked tumbling window matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "value")
+    val q = graft.streaming.StreamOps.windowedCounts(sdf)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:05:00"), "click", 1.5),
+      (t("2024-01-01 10:55:00"), "click", 2.0),
+      (t("2024-01-01 11:05:00"), "view", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+    q.stop()
+    assert(rows.length == 2)
+    val click = rows.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 2 && click.getDouble(3) == 3.5)
+  }
+
+  test("sessionize splits on 30-minute gaps") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = graft.streaming.StreamOps.sessionize(spark, ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 3L))
+    assert(out(2L) == (1L, 1L))
+  }
+}
