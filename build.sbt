@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // allocation-heavy batch workload: throughput collector + a large young
+  // generation (per-row garbage dies in eden) avoid the GC collapse seen
+  // at high mutator thread counts
+  "-XX:+UseParallelGC",
 )

@@ -35,8 +35,10 @@ object Knn {
   /** For each query point (a sample of the input), the k nearest other
     * points by squared euclidean int-space distance; deterministic
     * tie-break on gid. Queries are broadcast (small side). */
-  def pointKnn(spark: SparkSession, pts: DataFrame, queryFilter: org.apache.spark.sql.Column,
+  def pointKnn(spark: SparkSession, pts0: DataFrame, queryFilter: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
+    // a cross join inherits the probe scan's partitioning; spread it first
+    val pts = pts0.repartition(spark.sparkContext.defaultParallelism * 2)
     val q = pts.filter(queryFilter)
       .select(col("gid").as("q_gid"), col("x").cast("long").as("qx"),
         col("y").cast("long").as("qy"))

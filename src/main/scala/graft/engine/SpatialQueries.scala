@@ -87,7 +87,7 @@ object SpatialQueries {
 
   /** kNN (k=3) for a 1% query sample over the projected points. */
   def spKnn(s: SparkSession, dir: String): DataFrame =
-    Knn.pointKnn(s, pts(s, dir), col("gid") % 100 === 0, 3)
+    Knn.pointKnn(s, pts(s, dir), col("gid") % 1000 === 0, 3)
       .select(col("q_gid").cast("long").as("q_gid"),
         col("gid").cast("long").as("gid"), col("dist2"), col("rk"))
 
@@ -136,7 +136,7 @@ object SpatialQueries {
          |WHERE $sqlMeters <= 100000.0""".stripMargin,
     "sp_knn" ->
       s"""WITH p AS ($sqlPts),
-         |q AS (SELECT gid AS q_gid, x AS qx, y AS qy FROM p WHERE gid % 100 = 0)
+         |q AS (SELECT gid AS q_gid, x AS qx, y AS qy FROM p WHERE gid % 1000 = 0)
          |SELECT q_gid, gid, dist2, rk FROM (
          | SELECT q.q_gid, p.gid,
          |  (p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) AS dist2,

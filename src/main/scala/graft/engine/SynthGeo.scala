@@ -50,8 +50,13 @@ object SynthGeo {
           i += 1
         }
         Geo.G.line(cs)
-      } else { // building/landuse-like polygon (jittered n-gon)
-        val n = 4 + (u(seed, id, 6) * 12).toInt
+      } else { // building/landuse-like polygon (jittered n-gon); vertex
+        // counts follow an OSM-ish skew: most small, some detailed
+        val det = u(seed, id, 9)
+        val n =
+          if (det < 0.7) 4 + (u(seed, id, 6) * 12).toInt
+          else if (det < 0.95) 16 + (u(seed, id, 6) * 48).toInt
+          else 64 + (u(seed, id, 6) * 192).toInt
         val r = 0.0005 + u(seed, id, 7) * 0.01 // 50 m .. 1 km ish
         def ring(rr: Double, off: Int): Array[Int] = {
           val cs = new Array[Int](2 * n)

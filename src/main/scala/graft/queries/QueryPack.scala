@@ -183,11 +183,13 @@ object QueryPack {
           (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist2"))
   }
 
-  /** Exact kNN (k=3) for a 1% query sample against all points; broadcast the
-    * tiny query side, window top-k with deterministic tie-break. */
+  /** Exact kNN (k=3) for a 0.1% query sample against all points; broadcast
+    * the tiny query side, window top-k with deterministic tie-break. The
+    * probe side is repartitioned first: a cross join inherits the scan's
+    * partitioning, and a single parquet split would serialize the fan-out. */
   def q16Knn(s: SparkSession, dir: String): DataFrame = {
-    val p = pts(s, dir)
-    val q = p.filter(col("pid") % 100 === 0)
+    val p = pts(s, dir).repartition(s.sparkContext.defaultParallelism * 2)
+    val q = p.filter(col("pid") % 1000 === 0)
       .select(col("pid").as("q_pid"), col("x").as("qx"), col("y").as("qy"))
     val w = Window.partitionBy(col("q_pid"))
       .orderBy(col("dist2").asc, col("pid").asc)
@@ -309,7 +311,7 @@ object QueryPack {
       """WITH pts AS (SELECT o_orderkey AS pid,
         |  (o_orderkey * 7919) % 20001 - 10000 AS x,
         |  (o_orderkey * 104729) % 20001 - 10000 AS y FROM orders),
-        |q AS (SELECT pid AS q_pid, x AS qx, y AS qy FROM pts WHERE pid % 100 = 0)
+        |q AS (SELECT pid AS q_pid, x AS qx, y AS qy FROM pts WHERE pid % 1000 = 0)
         |SELECT q_pid, pid, dist2, rk FROM (
         | SELECT q.q_pid, p.pid,
         |  (p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) AS dist2,
