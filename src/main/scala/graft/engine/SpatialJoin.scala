@@ -200,34 +200,46 @@ object SpatialJoin {
   def refine(spark: SparkSession, cands: DataFrame,
       cfg: SpatialConfig): Dataset[FlagRow] = {
     import spark.implicits._
-    val typed = cands.as[(SubGeom, SubGeom)]
     val mode = cfg.mode
     val wd = cfg.withinDist
-    typed.mapPartitions { it =>
-      // Bounded LRU: reuse edge indexes of hot (usually large) geometries
-      // without keeping an unbounded live set that every GC must trace
-      // (role of the reference's byte-capped per-thread caches,
-      // GeometryCache.cpp:16-78).
-      val cache = new java.util.LinkedHashMap[String, Geo.G](512, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Geo.G]): Boolean = size() > 256
-      }
-      def gOf(s: SubGeom): Geo.G = {
-        val k = s.gid + " " + s.subId
+    // InternalRow access: ids are read by ordinal and the geometry payload
+    // arrays are copied out of the unsafe row ONLY on a cache miss — the
+    // per-row double-SubGeom decode was the dominant allocation source
+    // (GC-bound at high mutator thread counts).
+    val rdd = cands.queryExecution.toRdd.mapPartitions { rows =>
+      // Bounded LRU: reuse edge indexes of hot geometries without keeping
+      // an unbounded live set every GC must trace (role of the reference's
+      // byte-capped per-thread caches, GeometryCache.cpp:16-78).
+      val cache =
+        new java.util.LinkedHashMap[(String, Int), Geo.G](512, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, Int), Geo.G]): Boolean =
+            size() > 256
+        }
+      def gOf(gid: String, subId: Int,
+          r: org.apache.spark.sql.catalyst.InternalRow): Geo.G = {
+        val k = (gid, subId)
         var g = cache.get(k)
         if (g == null) {
-          g = Model.toG(s.kind, s.coords, s.ringEnds)
+          g = new Geo.G(r.getInt(4), r.getArray(5).toIntArray(),
+            r.getArray(6).toIntArray())
           cache.put(k, g)
         }
         g
       }
-      it.flatMap { case (sa, sb) =>
-        val ga = gOf(sa); val gb = gOf(sb)
+      rows.flatMap { row =>
+        val a = row.getStruct(0, 11)
+        val b = row.getStruct(1, 11)
+        val gidA = a.getUTF8String(0).toString
+        val subA = a.getInt(2); val nA = a.getInt(3); val kindA = a.getInt(4)
+        val gidB = b.getUTF8String(0).toString
+        val subB = b.getInt(2); val nB = b.getInt(3); val kindB = b.getInt(4)
+        val ga = gOf(gidA, subA, a)
+        val gb = gOf(gidB, subB, b)
         if (mode == "distance") {
           val d = Dist.geomDist(ga, gb)
           if (d <= wd)
-            Some(FlagRow(sa.gid, sa.subId, sa.nSubs, sa.kind,
-              sb.gid, sb.subId, sb.nSubs, sb.kind,
+            Some(FlagRow(gidA, subA, nA, kindA, gidB, subB, nB, kindB,
               isect = true, covAbyB = false, covBbyA = false,
               contAinB = false, contBinA = false, subEq = false,
               touch = false, notTouch = false, llCross = false,
@@ -242,17 +254,16 @@ object SpatialJoin {
               if (mode == "de9im") Relate.matToString(Relate.de9im(ga, gb))
               else ""
             Some(FlagRow(
-              sa.gid, sa.subId, sa.nSubs, sa.kind,
-              sb.gid, sb.subId, sb.nSubs, sb.kind,
+              gidA, subA, nA, kindA, gidB, subB, nB, kindB,
               isect = r.isect,
               covAbyB = r.aCovByB, covBbyA = r.bCovByA,
               contAinB = r.aContInB, contBinA = r.bContInA,
               subEq = r.aCovByB && r.bCovByA,
               touch = r.touches,
               notTouch = r.interiorIsect,
-              llCross = (sa.kind == 1 && sb.kind == 1) && r.crosses,
-              laCrossAB = sa.kind == 1 && sb.kind == 2 && r.crosses,
-              laCrossBA = sa.kind == 2 && sb.kind == 1 && r.crosses,
+              llCross = (kindA == 1 && kindB == 1) && r.crosses,
+              laCrossAB = kindA == 1 && kindB == 2 && r.crosses,
+              laCrossBA = kindA == 2 && kindB == 1 && r.crosses,
               overlap = r.overlaps,
               de9im = m,
               dist = -1.0))
@@ -260,6 +271,7 @@ object SpatialJoin {
         }
       }
     }
+    spark.createDataset(rdd)
   }
 
   /** Fan staged rows out through <ref> aliases, both sides, transitively
