@@ -46,14 +46,23 @@ object Bench {
     val nGeoms = math.max(50000L, (10000000 * sf).toLong)
 
     var spark = session(cpus)
+    // broken queries must be VISIBLE: record the exception per query instead
+    // of benching a failure as a healthy ~0 s timing
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+      }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-20s $secs%8.2f s")
+      System.err.println(f"[bench] $name%-20s $secs%8.2f s" +
+        (if (errors.contains(name)) "  FAILED" else ""))
       name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -91,6 +100,6 @@ object Bench {
         s""""sec_high":$tHigh,"scaling_efficiency":$eff}"""
 
     println(s"""{"metric":"total","value":${total + tMain},"unit":"sec",""" +
-      s""""queries":$qs,"spatial":$spatial,"sf":"$sfDir"}""")
+      s""""queries":$qs,"errors":$errJson,"spatial":$spatial,"sf":"$sfDir"}""")
   }
 }

@@ -47,12 +47,16 @@ object SpatialJoin {
   /** Pick a cell size so a typical sub-geometry covers ~1 cell: 4x the mean
     * bbox extent (measured on the mode-padded bboxes), clamped. One tiny
     * agg job; the result only affects performance, never results. */
-  def adaptiveCellSize(padded: DataFrame): Long = {
+  def adaptiveCellSize(padded: DataFrame, distMode: Boolean = false): Long = {
     val row = padded.agg(
       avg(greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
         .cast("double"))).head()
     val meanExtent = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    val target = math.max(meanExtent * 4.0, WORLD_W / (1L << 24).toDouble)
+    // distance mode: the pad dominates every bbox, so cells of ~the padded
+    // extent give the classic fixed-radius-neighbor grid (cells of ~4x the
+    // padded extent pack O(n^2) candidate pairs per cell for no gain)
+    val mult = if (distMode) 1.0 else 4.0
+    val target = math.max(meanExtent * mult, WORLD_W / (1L << 24).toDouble)
     math.min(math.max(target.toLong, 16L), (WORLD_W / 4.0).toLong)
   }
 
@@ -89,7 +93,8 @@ object SpatialJoin {
     val paddedP = padded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cs = if (cfg.cellSize > 0) cfg.cellSize else adaptiveCellSize(paddedP)
+    val cs = if (cfg.cellSize > 0) cfg.cellSize
+      else adaptiveCellSize(paddedP, distMode = cfg.withinDist >= 0)
     if (sys.env.contains("GRAFT_DEBUG")) {
       val w2 = WORLD_W / 2
       val dbg = paddedP.agg(
@@ -170,14 +175,17 @@ object SpatialJoin {
         bboxOverlap && (if (cfg.selfJoin) gidOrder else sides))
 
     def pick(df: DataFrame): DataFrame = df.select(
-      col("a.gid").as("gidA"), col("a.subId").as("subA"),
-      col("b.gid").as("gidB"), col("b.subId").as("subB"))
+      col("a.gid").as("gidA"), col("a.side").as("sideA"),
+      col("a.subId").as("subA"),
+      col("b.gid").as("gidB"), col("b.side").as("sideB"),
+      col("b.subId").as("subB"))
 
     val pairs =
       pick(smallPairs).union(pick(smallBig)).union(pick(bigBig))
 
-    // attach geometry payloads (wide) by id; the join outputs stream into
-    // refinement in the same stage
+    // attach geometry payloads (wide) by (gid, side, subId); side matters in
+    // non-self joins where the same id can appear on both sides with
+    // different geometries
     val gA = geoms.toDF().alias("ga")
     val gB = geoms.toDF().alias("gb")
     def side(alias: String) = struct(
@@ -188,8 +196,10 @@ object SpatialJoin {
       col(s"$alias.minY").as("minY"), col(s"$alias.maxX").as("maxX"),
       col(s"$alias.maxY").as("maxY"))
     pairs
-      .join(gA, col("gidA") === col("ga.gid") && col("subA") === col("ga.subId"))
-      .join(gB, col("gidB") === col("gb.gid") && col("subB") === col("gb.subId"))
+      .join(gA, col("gidA") === col("ga.gid") && col("subA") === col("ga.subId")
+        && col("sideA") === col("ga.side"))
+      .join(gB, col("gidB") === col("gb.gid") && col("subB") === col("gb.subId")
+        && col("sideB") === col("gb.side"))
       .select(side("ga").as("_1"), side("gb").as("_2"))
   }
 
@@ -211,14 +221,16 @@ object SpatialJoin {
       // an unbounded live set every GC must trace (role of the reference's
       // byte-capped per-thread caches, GeometryCache.cpp:16-78).
       val cache =
-        new java.util.LinkedHashMap[(String, Int), Geo.G](512, 0.75f, true) {
+        new java.util.LinkedHashMap[(String, Int, Int), Geo.G](512, 0.75f, true) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[(String, Int), Geo.G]): Boolean =
+              e: java.util.Map.Entry[(String, Int, Int), Geo.G]): Boolean =
             size() > 256
         }
-      def gOf(gid: String, subId: Int,
+      def gOf(gid: String, side: Int, subId: Int,
           r: org.apache.spark.sql.catalyst.InternalRow): Geo.G = {
-        val k = (gid, subId)
+        // side is part of the key: a non-self join can carry the same id on
+        // both sides with different geometries
+        val k = (gid, side, subId)
         var g = cache.get(k)
         if (g == null) {
           g = new Geo.G(r.getInt(4), r.getArray(5).toIntArray(),
@@ -234,8 +246,8 @@ object SpatialJoin {
         val subA = a.getInt(2); val nA = a.getInt(3); val kindA = a.getInt(4)
         val gidB = b.getUTF8String(0).toString
         val subB = b.getInt(2); val nB = b.getInt(3); val kindB = b.getInt(4)
-        val ga = gOf(gidA, subA, a)
-        val gb = gOf(gidB, subB, b)
+        val ga = gOf(gidA, a.getInt(1), subA, a)
+        val gb = gOf(gidB, b.getInt(1), subB, b)
         if (mode == "distance") {
           val d = Dist.geomDist(ga, gb)
           if (d <= wd)
@@ -279,13 +291,14 @@ object SpatialJoin {
     * Also seeds self-relation rows for referenced geometries (selfCheck,
     * Sweeper.cpp:2453-2475). */
   def fanout(spark: SparkSession, flags: Dataset[FlagRow],
-      refs: Dataset[RefEdge], geoms: Dataset[SubGeom],
+      edges: Array[RefEdge], geoms: Dataset[SubGeom],
       cfg: SpatialConfig): Dataset[FlagRow] = {
     import spark.implicits._
     // The alias table is tiny relative to the data (it is authored id
-    // lists); compute its transitive closure on the driver and fan out with
-    // two broadcast joins instead of an iterative distributed loop.
-    val edges = refs.collect()
+    // lists, collected ONCE by run); its transitive closure is computed on
+    // the driver and fanned out with two broadcast joins instead of an
+    // iterative distributed loop. P9's duplicate rewrite keeps its edges
+    // distributed and bounded separately (see dedup below).
     if (edges.isEmpty) return flags
 
     // closure(target) = all direct and transitive referers with the
@@ -314,8 +327,8 @@ object SpatialJoin {
     // referenced geometry; only meaningful once fanned to a referer
     // (reference selfCheck, Sweeper.cpp:2453-2475).
     val kinds = geoms.groupBy(col("gid")).agg(max(col("kind")).as("k"))
-    val selfRows = refs
-      .select(col("target")).distinct()
+    val selfRows = spark
+      .createDataset(edges.map(_.target).distinct.toSeq).toDF("target")
       .join(kinds, col("target") === col("gid"), "left")
       .select(col("target"), coalesce(col("k"), lit(-1)).as("k"))
       .as[(String, Int)]
@@ -558,7 +571,7 @@ object SpatialJoin {
     val edges = refs.collect()
     if (edges.isEmpty) aggregate(spark, flags, cfg, hadRefs = false)
     else {
-      val fanned = fanout(spark, flags, refs, g, cfg)
+      val fanned = fanout(spark, flags, edges, g, cfg)
       aggregate(spark, fanned, cfg, hadRefs = true)
     }
   }

@@ -109,12 +109,17 @@ object SpatialQueries {
       SpatialConfig(mode = "distance", withinDist = 1000))
   )
 
-  // the meter-distance formula as SQL (factor at closest-pair midpoint,
-  // for points = the two points' midpoint)
-  private val sqlMeters =
-    """sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) / 10.0 *
-      | cos(2*atan(exp(((a.y+b.y)/2.0/10.0) * pi() / 20037508.3427892)) - pi()/2)"""
+  // the reference meter-distance formula as SQL (Dist.metersPair): int
+  // coords /PREC cast to FLOAT (REAL), euclidean in double, scale factor
+  // cos of the MEAN of the two point latitudes
+  private val sqlMeters = {
+    def f(c: String) = s"CAST(CAST($c/10.0 AS REAL) AS DOUBLE)"
+    def lat(c: String) = s"(2*atan(exp(${f(c)}/6378137.0)) - 1.5707965)"
+    s"""sqrt((${f("a.x")}-${f("b.x")})*(${f("a.x")}-${f("b.x")})
+       | + (${f("a.y")}-${f("b.y")})*(${f("a.y")}-${f("b.y")}))
+       | * cos((${lat("a.y")} + ${lat("b.y")})/2.0)"""
       .stripMargin.replace("\n", "")
+  }
 
   val oracles: Map[String, String] = Map(
     "sp_project" ->

