@@ -26,9 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // allocation-heavy batch workload: throughput collector + a large young
-  // generation (per-row garbage dies in eden) avoid the GC collapse seen
-  // at high mutator thread counts
-  "-XX:+UseParallelGC",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pre-sized heap + G1 (JDK default). Measured alternatives both lost:
+  // ParallelGC with a growing heap took multi-second promotion-storm young
+  // pauses (one observed 11.6 s pause at 8 cores) because live Tungsten
+  // sorter pages get copied on every young GC; off-heap Tungsten memory
+  // (spark.memory.offHeap) was 1.5-3x slower end-to-end here.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ sys.env.get("GRAFT_GCLOG").map(p => s"-Xlog:gc:$p").toSeq

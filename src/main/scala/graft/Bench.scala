@@ -14,14 +14,18 @@ import graft.engine.{SpatialConfig, SpatialJoin, SynthGeo}
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, shuffleParts: Int = 0): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions",
+        (if (shuffleParts > 0) shuffleParts else cpus).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory",
-        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // this sandbox kernel makes syscalls expensive: shuffle via tmpfs
+      // with large write buffers (see BASELINE.md round-2 notes)
+      .config("spark.local.dir",
+        sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.shuffle.file.buffer", "1m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -76,10 +80,11 @@ object Bench {
     // shows the throughput ceiling (see BASELINE.md for methodology).
     val nHigh = math.max(2, cpus / 4)
     val nLow = math.max(1, cpus / 16)
-    // the sandbox host shows CPU steal: take the min of two runs per level
+    // the sandbox host shows CPU steal: take the min of two runs per level;
+    // 4x partitions per core pack short tasks better at low core counts
     def bestOf2(cores: Int): Double = {
       val ts = (1 to 2).map { _ =>
-        val s = session(cores)
+        val s = session(cores, shuffleParts = cores * 4)
         val (t, _) = spatialRun(s, nGeoms)
         s.stop()
         t

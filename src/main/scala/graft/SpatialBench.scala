@@ -22,6 +22,17 @@ object SpatialBench {
         .config("spark.sql.shuffle.partitions", shuffle.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        // measured: off-heap Tungsten pages were 1.5-3x slower here; G1 +
+        // pre-sized heap handles the on-heap pages fine (see build.sbt)
+        .config("spark.memory.offHeap.enabled",
+          sys.env.getOrElse("GRAFT_OFFHEAP", "false"))
+        .config("spark.memory.offHeap.size", "24g")
+        // this sandbox kernel makes syscalls expensive (vmstat showed ~90%
+        // system time in shuffle stages): shuffle through tmpfs with large
+        // write buffers
+        .config("spark.local.dir",
+          sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+        .config("spark.shuffle.file.buffer", "1m")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._
@@ -52,6 +63,8 @@ object SpatialBench {
       stages.clear()
       val geoms = SynthGeo.dataset(spark, n)
       if (sys.env.contains("GRAFT_EXPLAIN")) {
+        SpatialJoin.candidates(spark, geoms, SpatialConfig())
+          .explain("formatted")
         SpatialJoin.run(spark, geoms, refs, SpatialConfig())
           .explain("formatted")
       }

@@ -44,75 +44,57 @@ object SpatialJoin {
 
   import Geo.WORLD_W
 
-  /** Pick a cell size so a typical sub-geometry covers ~1 cell: 4x the mean
-    * bbox extent (measured on the mode-padded bboxes), clamped. One tiny
-    * agg job; the result only affects performance, never results. */
+  /** Cell size from the mean padded extent: distance mode uses ~1x (the
+    * pad dominates every bbox — the classic fixed-radius-neighbor grid);
+    * predicates use 4x so a typical sub-geometry covers ~1 cell. */
+  def cellSizeFor(meanExtent: Double, distMode: Boolean): Long = {
+    val mult = if (distMode) 1.0
+      else sys.env.getOrElse("GRAFT_CELL_MULT", "4.0").toDouble
+    val target = math.max(meanExtent * mult, WORLD_W / (1L << 24).toDouble)
+    math.min(math.max(target.toLong, 16L), (WORLD_W / 4.0).toLong)
+  }
+
   def adaptiveCellSize(padded: DataFrame, distMode: Boolean = false): Long = {
     val row = padded.agg(
       avg(greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
         .cast("double"))).head()
     val meanExtent = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    // distance mode: the pad dominates every bbox, so cells of ~the padded
-    // extent give the classic fixed-radius-neighbor grid (cells of ~4x the
-    // padded extent pack O(n^2) candidate pairs per cell for no gain)
-    val mult = if (distMode) 1.0 else 4.0
-    val target = math.max(meanExtent * mult, WORLD_W / (1L << 24).toDouble)
-    math.min(math.max(target.toLong, 16L), (WORLD_W / 4.0).toLong)
+    cellSizeFor(meanExtent, distMode)
   }
 
-  /** Candidate sub-geometry pairs: cell equi-join for ordinary geometries,
-    * broadcast bbox join for cell-cover giants, each pair exactly once. */
-  def candidates(spark: SparkSession, geoms: Dataset[SubGeom],
-      cfg: SpatialConfig): DataFrame = {
-    import spark.implicits._
+  /** bbox padding for within-distance mode (reference getPaddedBoundingBox,
+    * Sweeper.h:350-388); identity otherwise. */
+  private def padDf(base: DataFrame, cfg: SpatialConfig): DataFrame =
+    if (cfg.withinDist >= 0) {
+      val padFor = udf { (minY: Int, maxY: Int) =>
+        val f = math.max(
+          1.0 / Dist.distFactor(minY / Geo.PREC),
+          1.0 / Dist.distFactor(maxY / Geo.PREC))
+        math.ceil((cfg.withinDist / 2.0) * f * Geo.PREC).toInt
+      }
+      base
+        .withColumn("pad", padFor(col("minY"), col("maxY")))
+        .withColumn("minX", col("minX") - col("pad"))
+        .withColumn("minY", col("minY") - col("pad"))
+        .withColumn("maxX", col("maxX") + col("pad"))
+        .withColumn("maxY", col("maxY") + col("pad"))
+        .drop("pad")
+    } else base
 
-    // Only ids + bboxes enter the cell machinery; materialized once so the
-    // (possibly expensive) source is not re-executed by every join branch.
-    val skinnyBase = geoms.toDF().select(col("gid"), col("side"),
-      col("subId"), col("minX"), col("minY"), col("maxX"), col("maxY"))
-
-    // within-distance mode: pad each bbox by dist/2 * worst-case scale
-    // (reference getPaddedBoundingBox, Sweeper.h:350-388)
-    val padded =
-      if (cfg.withinDist >= 0) {
-        val padFor = udf { (minY: Int, maxY: Int) =>
-          val f = math.max(
-            1.0 / Dist.distFactor(minY / Geo.PREC),
-            1.0 / Dist.distFactor(maxY / Geo.PREC))
-          math.ceil((cfg.withinDist / 2.0) * f * Geo.PREC).toInt
-        }
-        skinnyBase
-          .withColumn("pad", padFor(col("minY"), col("maxY")))
-          .withColumn("minX", col("minX") - col("pad"))
-          .withColumn("minY", col("minY") - col("pad"))
-          .withColumn("maxX", col("maxX") + col("pad"))
-          .withColumn("maxY", col("maxY") + col("pad"))
-          .drop("pad")
-      } else skinnyBase
-
-    val paddedP = padded
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Shared cell machinery: padded bboxes, adaptive cell size, small-side
+    * cell explode, and the big-geometry split.
+    * Returns (exploded small side incl. `cell`, unexploded small side,
+    * big side, cell size). */
+  private def cellParts(geoms: Dataset[SubGeom], cfg: SpatialConfig)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val padded = padDf(geoms.toDF(), cfg)
 
     val cs = if (cfg.cellSize > 0) cfg.cellSize
-      else adaptiveCellSize(paddedP, distMode = cfg.withinDist >= 0)
-    if (sys.env.contains("GRAFT_DEBUG")) {
-      val w2 = WORLD_W / 2
-      val dbg = paddedP.agg(
-        count(lit(1)),
-        sum(when((floor((col("maxX") + lit(w2)) / cs) -
-          floor((col("minX") + lit(w2)) / cs) + 1) *
-          (floor((col("maxY") + lit(w2)) / cs) -
-            floor((col("minY") + lit(w2)) / cs) + 1) >
-          cfg.bigCellThreshold, 1L).otherwise(0L)),
-        sum((floor((col("maxX") + lit(w2)) / cs) -
-          floor((col("minX") + lit(w2)) / cs) + 1) *
-          (floor((col("maxY") + lit(w2)) / cs) -
-            floor((col("minY") + lit(w2)) / cs) + 1))).head()
-      System.err.println(s"[candidates] cellSize=$cs n=${dbg.getLong(0)} " +
-        s"nBig=${dbg.getLong(1)} totalCells=${dbg.getLong(2)}")
-    }
+      else adaptiveCellSize(
+        padded.select(col("minX"), col("minY"), col("maxX"), col("maxY")),
+        distMode = cfg.withinDist >= 0)
 
-    val withCells = paddedP
+    val withCells = padded
       .withColumn("cx0", floor((col("minX") + lit(WORLD_W / 2)) / cs))
       .withColumn("cx1", floor((col("maxX") + lit(WORLD_W / 2)) / cs))
       .withColumn("cy0", floor((col("minY") + lit(WORLD_W / 2)) / cs))
@@ -120,31 +102,75 @@ object SpatialJoin {
       .withColumn("ncells",
         (col("cx1") - col("cx0") + 1) * (col("cy1") - col("cy0") + 1))
 
-    // The shuffled/sorted rows are SKINNY (cell, ids, bbox) — geometry
-    // payloads never enter the cell shuffle or the join sort. They are
-    // attached afterwards by two id-joins whose wide outputs stream
-    // directly into refinement without another shuffle.
-    val skinny = withCells.select(col("gid"), col("side"), col("subId"),
-      col("minX"), col("minY"), col("maxX"), col("maxY"),
-      col("cx0"), col("cx1"), col("cy0"), col("cy1"), col("ncells"))
+    val small = withCells.filter(col("ncells") <= cfg.bigCellThreshold)
+    val big = withCells.filter(col("ncells") > cfg.bigCellThreshold)
+      .drop("cx0", "cx1", "cy0", "cy1", "ncells")
 
-    val small = skinny.filter(col("ncells") <= cfg.bigCellThreshold)
-    val big = skinny.filter(col("ncells") > cfg.bigCellThreshold)
-
-    val bboxOverlap =
-      col("a.minX") <= col("b.maxX") && col("b.minX") <= col("a.maxX") &&
-        col("a.minY") <= col("b.maxY") && col("b.minY") <= col("a.maxY")
-    val gidOrder =
-      (col("a.gid") < col("b.gid")) ||
-        (col("a.gid") === col("b.gid") && col("a.subId") < col("b.subId"))
-    val sides = col("a.side") === 0 && col("b.side") === 1
-
-    // explode cells for the small side
+    // explode cells for the small side (payload rides along; mean cover is
+    // ~1-2 cells at the adaptive cell size)
     val exploded = small
       .withColumn("cx", explode(sequence(col("cx0"), col("cx1"))))
       .withColumn("cy", explode(sequence(col("cy0"), col("cy1"))))
       .withColumn("cell", col("cx") * 4294967296L + col("cy"))
       .drop("cx0", "cx1", "cy0", "cy1", "ncells", "cx", "cy")
+
+    val smallU = small.drop("cx0", "cx1", "cy0", "cy1", "ncells")
+    (exploded, smallU, big, cs)
+  }
+
+  private def sideStruct(alias: String): Column = struct(
+    col(s"$alias.gid").as("gid"), col(s"$alias.side").as("side"),
+    col(s"$alias.subId").as("subId"), col(s"$alias.nSubs").as("nSubs"),
+    col(s"$alias.kind").as("kind"), col(s"$alias.coords").as("coords"),
+    col(s"$alias.ringEnds").as("ringEnds"), col(s"$alias.minX").as("minX"),
+    col(s"$alias.minY").as("minY"), col(s"$alias.maxX").as("maxX"),
+    col(s"$alias.maxY").as("maxY"))
+
+  /** Pairs involving cell-cover giants: bbox join from the broadcast side;
+    * each unordered pair exactly once (small-big always lands small=a;
+    * big-big pairs are gid-ordered; non-self keeps side0 on a). */
+  private def bigPairs(smallU: DataFrame, big: DataFrame,
+      cfg: SpatialConfig): DataFrame = {
+    val bboxOverlap =
+      col("a.minX") <= col("b.maxX") && col("b.minX") <= col("a.maxX") &&
+        col("a.minY") <= col("b.maxY") && col("b.minY") <= col("a.maxY")
+    val gidOrder = col("a.gid") < col("b.gid")
+    val sides = col("a.side") === 0 && col("b.side") === 1
+    val smallBig =
+      if (cfg.selfJoin)
+        smallU.alias("a").join(broadcast(big.alias("b")),
+          bboxOverlap && !(col("a.gid") === col("b.gid")))
+      else
+        smallU.alias("a").join(broadcast(big.alias("b")),
+          bboxOverlap && sides)
+          .union(big.alias("a").join(broadcast(smallU.alias("b")),
+            bboxOverlap && sides))
+    val bigBig =
+      big.alias("a").join(broadcast(big.alias("b")),
+        bboxOverlap && (if (cfg.selfJoin) gidOrder else sides))
+    def pick(df: DataFrame): DataFrame =
+      df.select(sideStruct("a").as("_1"), sideStruct("b").as("_2"),
+        lit(-1L).as("cell"))
+    pick(smallBig).union(pick(bigBig))
+  }
+
+  /** Candidate sub-geometry pairs for the NON-fused path (de9im mode, <ref>
+    * fanout, >63-part multis): cell equi-join (payloads ride through the
+    * shuffle, output cell-grouped for refine's per-cell cache) plus the
+    * broadcast bbox join for cell-cover giants; each pair exactly once. */
+  def candidates(spark: SparkSession, geoms: Dataset[SubGeom],
+      cfg: SpatialConfig): DataFrame = {
+
+    val (exploded, smallU, big, cs) = cellParts(geoms, cfg)
+
+    val bboxOverlap =
+      col("a.minX") <= col("b.maxX") && col("b.minX") <= col("a.maxX") &&
+        col("a.minY") <= col("b.maxY") && col("b.minY") <= col("a.maxY")
+    // strictly gid-ordered: same-id sub pairs are never checked, like the
+    // reference's "no self-checks in multigeometries" (Sweeper.cpp:2711);
+    // (t,t) relations come from the fanout selfRows instead
+    val gidOrder = col("a.gid") < col("b.gid")
+    val sides = col("a.side") === 0 && col("b.side") === 1
 
     val a = exploded.alias("a")
     val b = exploded.alias("b")
@@ -155,144 +181,155 @@ object SpatialJoin {
         4294967296L +
         floor((greatest(col("a.minY"), col("b.minY")) + lit(WORLD_W / 2)) / cs)
     val ssDisc = if (cfg.selfJoin) gidOrder else sides
-    val smallPairs = a.join(b, col("a.cell") === col("b.cell") &&
+    // force a sort-merge join: the cell join is data-scale x data-scale
+    // (size estimates through the typed source chain are useless and would
+    // broadcast the whole exploded side), and SMJ's cell-sorted output is
+    // exactly the group order refine's per-cell geometry cache needs
+    val smallPairs = a.hint("merge").join(b, col("a.cell") === col("b.cell") &&
       bboxOverlap && ssDisc && col("a.cell") === refCell)
 
-    // big geometries join by bbox from the broadcast side; each unordered
-    // pair appears exactly once: small-big pairs always land (small=a), and
-    // big-big pairs are gid-ordered. Non-self joins keep side0 on a.
-    val smallBig =
-      if (cfg.selfJoin)
-        small.alias("a").join(broadcast(big.alias("b")),
-          bboxOverlap && !(col("a.gid") === col("b.gid")))
-      else
-        small.alias("a").join(broadcast(big.alias("b")),
-          bboxOverlap && sides)
-          .union(big.alias("a").join(broadcast(small.alias("b")),
-            bboxOverlap && sides))
-    val bigBig =
-      big.alias("a").join(broadcast(big.alias("b")),
-        bboxOverlap && (if (cfg.selfJoin) gidOrder else sides))
+    // the join cell rides along: refine keys its geometry cache per cell
+    // group (SMJ output is cell-ordered), building each geometry exactly
+    // once per group instead of LRU-thrashing on the cyclic access pattern
+    smallPairs
+      .select(sideStruct("a").as("_1"), sideStruct("b").as("_2"),
+        col("a.cell").as("cell"))
+      .union(bigPairs(smallU, big, cfg))
+  }
 
-    def pick(df: DataFrame): DataFrame = df.select(
-      col("a.gid").as("gidA"), col("a.side").as("sideA"),
-      col("a.subId").as("subA"),
-      col("b.gid").as("gidB"), col("b.side").as("sideB"),
-      col("b.subId").as("subB"))
+  /** Schema of refined flag rows == the FlagRow case-class schema, so typed
+    * consumers (`.as[FlagRow]`) keep working on the raw DataFrame. */
+  val flagSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[FlagRow].schema
 
-    val pairs =
-      pick(smallPairs).union(pick(smallBig)).union(pick(bigBig))
-
-    // attach geometry payloads (wide) by (gid, side, subId); side matters in
-    // non-self joins where the same id can appear on both sides with
-    // different geometries
-    val gA = geoms.toDF().alias("ga")
-    val gB = geoms.toDF().alias("gb")
-    def side(alias: String) = struct(
-      col(s"$alias.gid").as("gid"), col(s"$alias.side").as("side"),
-      col(s"$alias.subId").as("subId"), col(s"$alias.nSubs").as("nSubs"),
-      col(s"$alias.kind").as("kind"), col(s"$alias.coords").as("coords"),
-      col(s"$alias.ringEnds").as("ringEnds"), col(s"$alias.minX").as("minX"),
-      col(s"$alias.minY").as("minY"), col(s"$alias.maxX").as("maxX"),
-      col(s"$alias.maxY").as("maxY"))
-    pairs
-      .join(gA, col("gidA") === col("ga.gid") && col("subA") === col("ga.subId")
-        && col("sideA") === col("ga.side"))
-      .join(gB, col("gidB") === col("gb.gid") && col("subB") === col("gb.subId")
-        && col("sideB") === col("gb.side"))
-      .select(side("ga").as("_1"), side("gb").as("_2"))
+  /** Mutable LRU key (gid bytes, side<<32|subId) — no per-row tuples. */
+  private final class GKey(
+      var gid: org.apache.spark.unsafe.types.UTF8String, var sk: Long) {
+    override def hashCode: Int = gid.hashCode * 31 + java.lang.Long.hashCode(sk)
+    override def equals(o: Any): Boolean = {
+      val k = o.asInstanceOf[GKey]
+      k.sk == sk && k.gid.equals(gid)
+    }
   }
 
   /** Exact refinement: candidate pairs -> per-sub-pair flag rows.
-    * Geometry objects are cached per partition keyed by (gid, subId) so an
-    * expensive polygon's edge index is built once per partition (role of
-    * the reference's per-thread geometry caches, GeometryCache.cpp). */
+    *
+    * Allocation discipline (this stage runs once per candidate pair and was
+    * GC-bound at 32 mutator threads): rows are read as InternalRow by
+    * ordinal; geometry payload arrays are copied out of the unsafe buffer
+    * only on an LRU miss (role of the reference's byte-capped per-thread
+    * caches, GeometryCache.cpp:16-78); output rows are written through one
+    * reused SpecificInternalRow + UnsafeProjection — no case-class, no
+    * Option, no Encoder object graph per pair. */
   def refine(spark: SparkSession, cands: DataFrame,
-      cfg: SpatialConfig): Dataset[FlagRow] = {
-    import spark.implicits._
+      cfg: SpatialConfig): DataFrame = {
     val mode = cfg.mode
     val wd = cfg.withinDist
-    // InternalRow access: ids are read by ordinal and the geometry payload
-    // arrays are copied out of the unsafe row ONLY on a cache miss — the
-    // per-row double-SubGeom decode was the dominant allocation source
-    // (GC-bound at high mutator thread counts).
+    val schema = flagSchema
     val rdd = cands.queryExecution.toRdd.mapPartitions { rows =>
-      // Bounded LRU: reuse edge indexes of hot geometries without keeping
-      // an unbounded live set every GC must trace (role of the reference's
-      // byte-capped per-thread caches, GeometryCache.cpp:16-78).
-      val cache =
-        new java.util.LinkedHashMap[(String, Int, Int), Geo.G](512, 0.75f, true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[(String, Int, Int), Geo.G]): Boolean =
-            size() > 256
-        }
-      def gOf(gid: String, side: Int, subId: Int,
-          r: org.apache.spark.sql.catalyst.InternalRow): Geo.G = {
-        // side is part of the key: a non-self join can carry the same id on
-        // both sides with different geometries
-        val k = (gid, side, subId)
-        var g = cache.get(k)
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
+      import org.apache.spark.unsafe.types.UTF8String
+      val proj = UnsafeProjection.create(schema)
+      val out = new SpecificInternalRow(schema)
+      val EMPTY = UTF8String.EMPTY_UTF8
+      // Per-cell-group cache: the pair stream arrives grouped by join cell
+      // (SMJ sort order), and within a group every geometry repeats (the
+      // streamed row per buffered row) — a bounded LRU thrashes on that
+      // cyclic pattern, so build each geometry once per group and drop the
+      // group's cache wholesale on the next cell. The -1 cell (broadcast
+      // big-geometry pairs) is capped instead.
+      val cache = new java.util.HashMap[GKey, Geo.G](1024)
+      var curCell = Long.MinValue
+      val probe = new GKey(null, 0L)
+      def gOf(gid: UTF8String, side: Int, subId: Int, r: InternalRow): Geo.G = {
+        probe.gid = gid
+        probe.sk = (side.toLong << 32) | (subId.toLong & 0xffffffffL)
+        var g = cache.get(probe)
         if (g == null) {
           g = new Geo.G(r.getInt(4), r.getArray(5).toIntArray(),
             r.getArray(6).toIntArray())
-          cache.put(k, g)
+          // the probe's gid points into the transient row buffer: clone it
+          // into the stored key
+          cache.put(new GKey(gid.clone(), probe.sk), g)
         }
         g
       }
-      rows.flatMap { row =>
-        val a = row.getStruct(0, 11)
-        val b = row.getStruct(1, 11)
-        val gidA = a.getUTF8String(0).toString
-        val subA = a.getInt(2); val nA = a.getInt(3); val kindA = a.getInt(4)
-        val gidB = b.getUTF8String(0).toString
-        val subB = b.getInt(2); val nB = b.getInt(3); val kindB = b.getInt(4)
-        val ga = gOf(gidA, a.getInt(1), subA, a)
-        val gb = gOf(gidB, b.getInt(1), subB, b)
-        if (mode == "distance") {
-          val d = Dist.geomDist(ga, gb)
-          if (d <= wd)
-            Some(FlagRow(gidA, subA, nA, kindA, gidB, subB, nB, kindB,
-              isect = true, covAbyB = false, covBbyA = false,
-              contAinB = false, contBinA = false, subEq = false,
-              touch = false, notTouch = false, llCross = false,
-              laCrossAB = false, laCrossBA = false, overlap = false,
-              de9im = "", dist = d))
-          else None
-        } else {
-          val r = Relate.relate(ga, gb)
-          if (!r.isect) None
-          else {
-            val m =
-              if (mode == "de9im") Relate.matToString(Relate.de9im(ga, gb))
-              else ""
-            Some(FlagRow(
-              gidA, subA, nA, kindA, gidB, subB, nB, kindB,
-              isect = r.isect,
-              covAbyB = r.aCovByB, covBbyA = r.bCovByA,
-              contAinB = r.aContInB, contBinA = r.bContInA,
-              subEq = r.aCovByB && r.bCovByA,
-              touch = r.touches,
-              notTouch = r.interiorIsect,
-              llCross = (kindA == 1 && kindB == 1) && r.crosses,
-              laCrossAB = kindA == 1 && kindB == 2 && r.crosses,
-              laCrossBA = kindA == 2 && kindB == 1 && r.crosses,
-              overlap = r.overlaps,
-              de9im = m,
-              dist = -1.0))
+      new Iterator[InternalRow] {
+        private var ready = false
+        private def advance(): Unit = {
+          while (!ready && rows.hasNext) {
+            val row = rows.next()
+            val cell = row.getLong(2)
+            if (cell != curCell || cache.size() > 65536) {
+              cache.clear(); curCell = cell
+            }
+            val a = row.getStruct(0, 11)
+            val b = row.getStruct(1, 11)
+            val gidA = a.getUTF8String(0)
+            val gidB = b.getUTF8String(0)
+            val subA = a.getInt(2); val subB = b.getInt(2)
+            val kindA = a.getInt(4); val kindB = b.getInt(4)
+            val ga = gOf(gidA, a.getInt(1), subA, a)
+            val gb = gOf(gidB, b.getInt(1), subB, b)
+            if (mode == "distance") {
+              val d = Dist.geomDist(ga, gb)
+              if (d <= wd) {
+                out.update(0, gidA); out.setInt(1, subA)
+                out.setInt(2, a.getInt(3)); out.setInt(3, kindA)
+                out.update(4, gidB); out.setInt(5, subB)
+                out.setInt(6, b.getInt(3)); out.setInt(7, kindB)
+                out.setBoolean(8, true)
+                var i = 9
+                while (i < 20) { out.setBoolean(i, false); i += 1 }
+                out.update(20, EMPTY)
+                out.setDouble(21, d)
+                ready = true
+              }
+            } else {
+              val r = Relate.relate(ga, gb)
+              if (r.isect) {
+                out.update(0, gidA); out.setInt(1, subA)
+                out.setInt(2, a.getInt(3)); out.setInt(3, kindA)
+                out.update(4, gidB); out.setInt(5, subB)
+                out.setInt(6, b.getInt(3)); out.setInt(7, kindB)
+                out.setBoolean(8, true)
+                out.setBoolean(9, r.aCovByB)
+                out.setBoolean(10, r.bCovByA)
+                out.setBoolean(11, r.aContInB)
+                out.setBoolean(12, r.bContInA)
+                out.setBoolean(13, r.aCovByB && r.bCovByA)
+                out.setBoolean(14, r.touches)
+                out.setBoolean(15, r.interiorIsect)
+                out.setBoolean(16, (kindA == 1 && kindB == 1) && r.crosses)
+                out.setBoolean(17, kindA == 1 && kindB == 2 && r.crosses)
+                out.setBoolean(18, kindA == 2 && kindB == 1 && r.crosses)
+                out.setBoolean(19, r.overlaps)
+                out.update(20,
+                  if (mode == "de9im")
+                    UTF8String.fromString(
+                      Relate.matToString(Relate.de9im(ga, gb)))
+                  else EMPTY)
+                out.setDouble(21, -1.0)
+                ready = true
+              }
+            }
           }
         }
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = { advance(); ready = false; proj(out) }
       }
     }
-    spark.createDataset(rdd)
+    org.apache.spark.sql.GraftInternal.internalDf(spark, rdd, schema)
   }
 
   /** Fan staged rows out through <ref> aliases, both sides, transitively
     * (reference: recursion inside every write*, e.g. Sweeper.cpp:2423-2450).
     * Also seeds self-relation rows for referenced geometries (selfCheck,
     * Sweeper.cpp:2453-2475). */
-  def fanout(spark: SparkSession, flags: Dataset[FlagRow],
+  def fanout(spark: SparkSession, flags: DataFrame,
       edges: Array[RefEdge], geoms: Dataset[SubGeom],
-      cfg: SpatialConfig): Dataset[FlagRow] = {
+      cfg: SpatialConfig): DataFrame = {
     import spark.implicits._
     // The alias table is tiny relative to the data (it is authored id
     // lists, collected ONCE by run); its transitive closure is computed on
@@ -362,18 +399,24 @@ object SpatialJoin {
     // expand side A (keeping originals), then side B of that result:
     // yields the full product closure(a) x closure(b), matching the
     // reference's recursive fanout in every write* call.
-    val base = flags.union(selfRows).toDF()
+    val base = flags.union(selfRows.toDF())
     val withA = base.union(fan(base, onA = true))
     val withAB = withA.union(fan(withA, onA = false))
-    withAB.as[FlagRow]
+    withAB
   }
 
   /** Aggregate sub-pair flags into relations per (gidA, gidB), reproducing
     * the reference's multiOut semantics (Sweeper.cpp:788-1059). Output:
     * (a_id, predicate, b_id) in predicates mode; (a_id, matrix, b_id) in
     * de9im mode; (a_id, dist, b_id) in distance mode. */
-  def aggregate(spark: SparkSession, flags: Dataset[FlagRow],
-      cfg: SpatialConfig, hadRefs: Boolean = true): DataFrame = {
+  /** @param mayHaveBigMultis whether any geometry has more than 63 parts
+    *   (sub ids that overflow the 64-bit distinct-count masks). run()
+    *   derives it from max(nSubs); when false — every real dataset — the
+    *   typed-Aggregator fallback branch is not planned at all, so the
+    *   refine lineage executes exactly once and nothing needs caching. */
+  def aggregate(spark: SparkSession, flags: DataFrame,
+      cfg: SpatialConfig, hadRefs: Boolean = true,
+      mayHaveBigMultis: Boolean = false): DataFrame = {
     import spark.implicits._
     val pairFlags = flags.filter(col("gidA") =!= col("gidB"))
 
@@ -421,11 +464,13 @@ object SpatialJoin {
     }
 
     // ---------------------------------------------------------- predicates
-    // both aggregation branches (codegen fast path + typed fallback) read
-    // the refined flags: materialize them once instead of re-running the
-    // whole join+refine per branch
-    val flagsP = pairFlags
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persist only when the slow branch can exist (sub ids >= 64): it reads
+    // the flags a second time. DataFrame.persist copies field values into
+    // column batches, so the reused UnsafeRow from refine is safe to cache.
+    val flagsP =
+      if (mayHaveBigMultis)
+        pairFlags.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairFlags
     // One-pass codegen aggregation: distinct-sub counting via 64-bit
     // bit_or masks (sub ids < 64 cover all but pathological multis; those
     // few pairs take a typed-Aggregator fallback). This stays inside
@@ -454,65 +499,76 @@ object SpatialJoin {
 
     val fastOk = col("maxSubA") < 64 && col("maxSubB") < 64
 
-    def verdictCols(covCntA: Column, covCntB: Column, contCntA: Column,
-        contCntB: Column, eqCntA: Column, eqCntB: Column): Seq[Column] = {
-      val coversAB = covCntB === col("nB")
-      val coversBA = covCntA === col("nA")
-      val partial = (covCntA > 0 && covCntA < col("nA")) ||
-        (covCntB > 0 && covCntB < col("nB"))
-      Seq(
-        col("isect").as("r_isect"),
-        coversAB.as("r_coversAB"), coversBA.as("r_coversBA"),
-        (contCntB === col("nB")).as("r_containsAB"),
-        (contCntA === col("nA")).as("r_containsBA"),
-        (col("nA") === col("nB") && eqCntA === col("nA") &&
-          eqCntB === col("nB")).as("r_equals"),
-        (col("anyTouch") && !col("anyNotTouch")).as("r_touches"),
-        ((col("anyLLCross") && !col("anyNotCross")) || col("anyLAab"))
-          .as("r_crossesAB"),
-        ((col("anyLLCross") && !col("anyNotCross")) || col("anyLAba"))
-          .as("r_crossesBA"),
-        ((col("anyOverlap") || partial) && !coversAB && !coversBA &&
-          !col("anyLLCross")).as("r_overlaps"))
-    }
+    val marked =
+      if (!mayHaveBigMultis) fastVerdicts(agg1)
+      else {
+        val fast = fastVerdicts(agg1.filter(fastOk))
+        // pathological multis (sub ids >= 64): exact typed aggregation over
+        // the persisted flags
+        val badKeys = agg1.filter(!fastOk).select(col("gidA").as("bk_a"),
+          col("gidB").as("bk_b"))
+        val slow = flagsP
+          .join(broadcast(badKeys), col("gidA") === col("bk_a") &&
+            col("gidB") === col("bk_b"), "left_semi")
+          .as[FlagRow]
+          .groupByKey(f => (f.gidA, f.gidB))
+          .agg(RelAgg.toColumn.name("r"))
+          .toDF("key", "r")
+          .select(
+            col("key._1").as("gidA"), col("key._2").as("gidB"),
+            col("r.isect").as("r_isect"),
+            col("r.coversAB").as("r_coversAB"),
+            col("r.coversBA").as("r_coversBA"),
+            col("r.containsAB").as("r_containsAB"),
+            col("r.containsBA").as("r_containsBA"),
+            col("r.equalsAB").as("r_equals"),
+            col("r.touchesAB").as("r_touches"),
+            col("r.crossesAB").as("r_crossesAB"),
+            col("r.crossesBA").as("r_crossesBA"),
+            col("r.overlapsAB").as("r_overlaps"))
+        fast.union(slow)
+      }
 
-    val fast = agg1.filter(fastOk).select(
-      Seq(col("gidA"), col("gidB")) ++ verdictCols(
-        bit_count(col("covAM")).cast("long"),
-        bit_count(col("covBM")).cast("long"),
-        bit_count(col("contAM")).cast("long"),
-        bit_count(col("contBM")).cast("long"),
-        bit_count(col("eqAM")).cast("long"),
-        bit_count(col("eqBM")).cast("long")): _*)
+    relsFrom(marked, cfg, dedup = hadRefs)
+  }
 
-    // pathological multis (sub ids >= 64): exact typed aggregation
-    val badKeys = agg1.filter(!fastOk).select(col("gidA").as("bk_a"),
-      col("gidB").as("bk_b"))
-    val slow = flagsP
-      .join(broadcast(badKeys), col("gidA") === col("bk_a") &&
-        col("gidB") === col("bk_b"), "left_semi")
-      .as[FlagRow]
-      .groupByKey(f => (f.gidA, f.gidB))
-      .agg(RelAgg.toColumn.name("r"))
-      .toDF("key", "r")
-      .select(
-        col("key._1").as("gidA"), col("key._2").as("gidB"),
-        col("r.isect").as("r_isect"),
-        col("r.coversAB").as("r_coversAB"),
-        col("r.coversBA").as("r_coversBA"),
-        col("r.containsAB").as("r_containsAB"),
-        col("r.containsBA").as("r_containsBA"),
-        col("r.equalsAB").as("r_equals"),
-        col("r.touchesAB").as("r_touches"),
-        col("r.crossesAB").as("r_crossesAB"),
-        col("r.crossesBA").as("r_crossesBA"),
-        col("r.overlapsAB").as("r_overlaps"))
+  /** Verdict columns over an agg1-shaped row (counts from mask popcounts). */
+  private def verdictCols(covCntA: Column, covCntB: Column, contCntA: Column,
+      contCntB: Column, eqCntA: Column, eqCntB: Column): Seq[Column] = {
+    val coversAB = covCntB === col("nB")
+    val coversBA = covCntA === col("nA")
+    val partial = (covCntA > 0 && covCntA < col("nA")) ||
+      (covCntB > 0 && covCntB < col("nB"))
+    Seq(
+      col("isect").as("r_isect"),
+      coversAB.as("r_coversAB"), coversBA.as("r_coversBA"),
+      (contCntB === col("nB")).as("r_containsAB"),
+      (contCntA === col("nA")).as("r_containsBA"),
+      (col("nA") === col("nB") && eqCntA === col("nA") &&
+        eqCntB === col("nB")).as("r_equals"),
+      (col("anyTouch") && !col("anyNotTouch")).as("r_touches"),
+      ((col("anyLLCross") && !col("anyNotCross")) || col("anyLAab"))
+        .as("r_crossesAB"),
+      ((col("anyLLCross") && !col("anyNotCross")) || col("anyLAba"))
+        .as("r_crossesBA"),
+      ((col("anyOverlap") || partial) && !coversAB && !coversBA &&
+        !col("anyLLCross")).as("r_overlaps"))
+  }
 
-    val marked = fast.union(slow)
+  private def fastVerdicts(in: DataFrame): DataFrame = in.select(
+    Seq(col("gidA"), col("gidB")) ++ verdictCols(
+      bit_count(col("covAM")).cast("long"),
+      bit_count(col("covBM")).cast("long"),
+      bit_count(col("contAM")).cast("long"),
+      bit_count(col("contBM")).cast("long"),
+      bit_count(col("eqAM")).cast("long"),
+      bit_count(col("eqBM")).cast("long")): _*)
 
-    // assemble (a_id, predicate, b_id); in non-self mode only side-A-first
-    // pairs survive (writeRel discipline, Sweeper.cpp:2287-2288) — the join
-    // already ordered A=side0, B=side1, so "reverse" rows are dropped.
+  /** (a_id, predicate, b_id) assembly from verdict-marked pair rows; in
+    * non-self mode only side-A-first rows survive (writeRel discipline,
+    * Sweeper.cpp:2287-2288) — the join ordered A=side0, B=side1. */
+  private def relsFrom(marked: DataFrame, cfg: SpatialConfig,
+      dedup: Boolean): DataFrame = {
     val bothDirs = cfg.selfJoin
     def rel(cond: Column, aId: Column, pred: String, bId: Column) =
       when(cond, struct(aId.as("a_id"), lit(pred).as("predicate"),
@@ -545,13 +601,303 @@ object SpatialJoin {
       .select(explode(relArray).as("rel"))
       .filter(col("rel").isNotNull)
       .select(col("rel.a_id"), col("rel.predicate"), col("rel.b_id"))
-    if (hadRefs) rels.distinct() else rels
+    if (dedup) rels.distinct() else rels
   }
 
   private def selfMat(kind: Int): Relate.Mat = kind match {
     case 0 => Relate.SELF_POINT
     case 1 => Relate.SELF_LINE
     case _ => Relate.SELF_AREA
+  }
+
+  // ------------------------------------------------------------ fused path
+  //
+  // For the dominant case (no <ref> aliases, no >63-part multis, predicates
+  // or distance mode) the whole inner join runs as ONE kernel over a single
+  // cell-shuffled, cell-sorted stream: per-cell pairing (with bbox, 45-deg
+  // diag-box [reference Sweeper.cpp:67-68,3561] and first-common-cell dedup
+  // checks), exact refinement, and in-kernel partial aggregation into a
+  // (gidA,gidB)-keyed map. Compared to SMJ + refine + Spark partial agg this
+  // removes one 260MB sort, the SMJ buffered-row copies, one hash probe per
+  // candidate pair, and the per-flag-row aggregation machinery — the memory
+  // traffic that capped multi-core scaling.
+
+  import org.apache.spark.sql.types._
+
+  private val aggRowSchema = StructType(Seq(
+    StructField("gidA", StringType, nullable = false),
+    StructField("gidB", StringType, nullable = false),
+    StructField("nA", IntegerType, nullable = false),
+    StructField("nB", IntegerType, nullable = false),
+    StructField("maxSubA", IntegerType, nullable = false),
+    StructField("maxSubB", IntegerType, nullable = false),
+    StructField("isect", BooleanType, nullable = false),
+    StructField("anyTouch", BooleanType, nullable = false),
+    StructField("anyNotTouch", BooleanType, nullable = false),
+    StructField("anyLLCross", BooleanType, nullable = false),
+    StructField("anyLAab", BooleanType, nullable = false),
+    StructField("anyLAba", BooleanType, nullable = false),
+    StructField("anyOverlap", BooleanType, nullable = false),
+    StructField("anyNotCross", BooleanType, nullable = false),
+    StructField("covAM", LongType, nullable = false),
+    StructField("covBM", LongType, nullable = false),
+    StructField("contAM", LongType, nullable = false),
+    StructField("contBM", LongType, nullable = false),
+    StructField("eqAM", LongType, nullable = false),
+    StructField("eqBM", LongType, nullable = false)))
+
+  private val distRowSchema = StructType(Seq(
+    StructField("gidA", StringType, nullable = false),
+    StructField("gidB", StringType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+
+  /** One buffered sub-geometry within a cell group. */
+  private final class GeomRef(
+      val gid: String, val side: Int, val subId: Int, val nSubs: Int,
+      val kind: Int,
+      val minX: Int, val minY: Int, val maxX: Int, val maxY: Int,
+      val dMin: Long, val dMax: Long, val eMin: Long, val eMax: Long,
+      val g: Geo.G)
+
+  /** Partial relation state per (gidA, gidB). */
+  private final class AggState {
+    var nA = 0; var nB = 0; var maxSubA = 0; var maxSubB = 0
+    var isect = false; var anyTouch = false; var anyNotTouch = false
+    var anyLLCross = false; var anyLAab = false; var anyLAba = false
+    var anyOverlap = false; var anyNotCross = false
+    var covAM = 0L; var covBM = 0L; var contAM = 0L; var contBM = 0L
+    var eqAM = 0L; var eqBM = 0L
+    var dist = Double.MaxValue
+  }
+
+  private final class PKey(var a: String, var b: String) {
+    override def hashCode: Int = a.hashCode * 31 + b.hashCode
+    override def equals(o: Any): Boolean = {
+      val k = o.asInstanceOf[PKey]; k.a == a && k.b == b
+    }
+  }
+
+  /** Fused pair generation + refinement + partial aggregation. Emits
+    * agg1-shaped partial rows (predicates) or (gidA,gidB,dist) partials
+    * (distance); [[aggregateFromPre]] merges them. */
+  def fusedPairs(spark: SparkSession, geoms: Dataset[SubGeom],
+      cfg: SpatialConfig): DataFrame = {
+    val (exploded, smallU, big, cs) = cellParts(geoms, cfg)
+    val distMode = cfg.mode == "distance"
+    val wd = cfg.withinDist
+    val selfJoin = cfg.selfJoin
+    val w2 = WORLD_W / 2
+    val csD = cs.toDouble
+    val schema = if (distMode) distRowSchema else aggRowSchema
+
+    val src = exploded.select(col("cell"), col("gid"), col("side"),
+      col("subId"), col("nSubs"), col("kind"), col("coords"),
+      col("ringEnds"), col("minX"), col("minY"), col("maxX"), col("maxY"))
+    val sorted = src.repartition(col("cell")).sortWithinPartitions(col("cell"))
+
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
+      import org.apache.spark.unsafe.types.UTF8String
+      val proj = UnsafeProjection.create(schema)
+      val out = new SpecificInternalRow(schema)
+      val aggMap = new java.util.HashMap[PKey, AggState](1 << 12)
+      val group = new scala.collection.mutable.ArrayBuffer[GeomRef](64)
+      var curCell = Long.MinValue
+      val probe = new PKey(null, null)
+
+      def stateOf(a: String, b: String): AggState = {
+        probe.a = a; probe.b = b
+        var s = aggMap.get(probe)
+        if (s == null) { s = new AggState; aggMap.put(new PKey(a, b), s) }
+        s
+      }
+
+      def cellOf(x: Int, y: Int): Long =
+        math.floor((x + w2) / csD).toLong * 4294967296L +
+          math.floor((y + w2) / csD).toLong
+
+      def processPair(p: GeomRef, q: GeomRef): Unit = {
+        var a = p; var b = q
+        if (selfJoin) {
+          val c = p.gid.compareTo(q.gid)
+          if (c == 0) return
+          if (c > 0) { a = q; b = p }
+        } else {
+          if (p.side == q.side) return
+          if (p.side == 1) { a = q; b = p }
+        }
+        if (a.minX > b.maxX || b.minX > a.maxX ||
+            a.minY > b.maxY || b.minY > a.maxY) return
+        // first-common-cell dedup: only the cell holding the min corner of
+        // the bbox intersection reports the pair
+        if (cellOf(math.max(a.minX, b.minX), math.max(a.minY, b.minY))
+            != curCell) return
+        // 45-deg diag-box filter (predicates only: distance pads bboxes but
+        // the diag extents are unpadded)
+        if (!distMode &&
+            (a.dMin > b.dMax || b.dMin > a.dMax ||
+              a.eMin > b.eMax || b.eMin > a.eMax)) return
+        if (distMode) {
+          val d = Dist.geomDist(a.g, b.g)
+          if (d <= wd) {
+            val s = stateOf(a.gid, b.gid)
+            if (d < s.dist) s.dist = d
+          }
+        } else {
+          val r = Relate.relate(a.g, b.g)
+          if (r.isect) {
+            val s = stateOf(a.gid, b.gid)
+            s.nA = a.nSubs; s.nB = b.nSubs
+            if (a.subId > s.maxSubA) s.maxSubA = a.subId
+            if (b.subId > s.maxSubB) s.maxSubB = b.subId
+            s.isect = true
+            if (r.touches) s.anyTouch = true
+            if (r.interiorIsect) s.anyNotTouch = true
+            if (r.crosses) {
+              if (p.kind == 1 && q.kind == 1) s.anyLLCross = true
+              if (a.kind == 1 && b.kind == 2) s.anyLAab = true
+              if (a.kind == 2 && b.kind == 1) s.anyLAba = true
+            }
+            if (r.overlaps) s.anyOverlap = true
+            if (r.aCovByB || r.bCovByA || r.overlaps) s.anyNotCross = true
+            if (r.aCovByB) s.covAM |= 1L << a.subId
+            if (r.bCovByA) s.covBM |= 1L << b.subId
+            if (r.aContInB) s.contAM |= 1L << a.subId
+            if (r.bContInA) s.contBM |= 1L << b.subId
+            if (r.aCovByB && r.bCovByA) {
+              s.eqAM |= 1L << a.subId; s.eqBM |= 1L << b.subId
+            }
+          }
+        }
+      }
+
+      def makeRef(row: InternalRow): GeomRef = {
+        val coords = row.getArray(6).toIntArray()
+        var i = 0
+        var dMin = Long.MaxValue; var dMax = Long.MinValue
+        var eMin = Long.MaxValue; var eMax = Long.MinValue
+        while (i < coords.length) {
+          val d = coords(i).toLong + coords(i + 1)
+          val e = coords(i).toLong - coords(i + 1)
+          if (d < dMin) dMin = d
+          if (d > dMax) dMax = d
+          if (e < eMin) eMin = e
+          if (e > eMax) eMax = e
+          i += 2
+        }
+        new GeomRef(row.getUTF8String(1).toString, row.getInt(2),
+          row.getInt(3), row.getInt(4), row.getInt(5),
+          row.getInt(8), row.getInt(9), row.getInt(10), row.getInt(11),
+          dMin, dMax, eMin, eMax,
+          new Geo.G(row.getInt(5), coords, row.getArray(7).toIntArray()))
+      }
+
+      def writeState(k: PKey, s: AggState): InternalRow = {
+        out.update(0, UTF8String.fromString(k.a))
+        out.update(1, UTF8String.fromString(k.b))
+        if (distMode) out.setDouble(2, s.dist)
+        else {
+          out.setInt(2, s.nA); out.setInt(3, s.nB)
+          out.setInt(4, s.maxSubA); out.setInt(5, s.maxSubB)
+          out.setBoolean(6, s.isect); out.setBoolean(7, s.anyTouch)
+          out.setBoolean(8, s.anyNotTouch); out.setBoolean(9, s.anyLLCross)
+          out.setBoolean(10, s.anyLAab); out.setBoolean(11, s.anyLAba)
+          out.setBoolean(12, s.anyOverlap); out.setBoolean(13, s.anyNotCross)
+          out.setLong(14, s.covAM); out.setLong(15, s.covBM)
+          out.setLong(16, s.contAM); out.setLong(17, s.contBM)
+          out.setLong(18, s.eqAM); out.setLong(19, s.eqBM)
+        }
+        proj(out)
+      }
+
+      // lazily interleave: consume input cells until the partial map grows
+      // past the cap, drain it (downstream merge makes partials correct),
+      // continue — bounded memory at any input size
+      new Iterator[InternalRow] {
+        private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
+        private def pump(): Unit = {
+          while ((drain == null || !drain.hasNext) && rows.hasNext) {
+            if (drain != null) { drain = null; aggMap.clear() }
+            while (rows.hasNext && aggMap.size() < (1 << 20)) {
+              val row = rows.next()
+              val cell = row.getLong(0)
+              if (cell != curCell) { group.clear(); curCell = cell }
+              val ref = makeRef(row)
+              var i = 0
+              while (i < group.length) { processPair(group(i), ref); i += 1 }
+              group += ref
+            }
+            drain = aggMap.entrySet().iterator()
+          }
+          if (drain == null) drain = aggMap.entrySet().iterator()
+        }
+        override def hasNext: Boolean = { pump(); drain.hasNext }
+        override def next(): InternalRow = {
+          pump(); val e = drain.next(); writeState(e.getKey, e.getValue)
+        }
+      }
+    }
+    val fusedDf = org.apache.spark.sql.GraftInternal.internalDf(
+      spark, rdd, schema)
+
+    // giants go through the broadcast bbox joins + per-pair refine, then
+    // convert each raw flag row into a single-pair partial
+    val bigFlags = refine(spark, bigPairs(smallU, big, cfg), cfg)
+      .filter(col("gidA") =!= col("gidB"))
+    val bigPre =
+      if (distMode) bigFlags.select(col("gidA"), col("gidB"), col("dist"))
+      else bigFlags.select(
+        col("gidA"), col("gidB"), col("nA"), col("nB"),
+        col("subA").as("maxSubA"), col("subB").as("maxSubB"),
+        col("isect"),
+        col("touch").as("anyTouch"), col("notTouch").as("anyNotTouch"),
+        col("llCross").as("anyLLCross"), col("laCrossAB").as("anyLAab"),
+        col("laCrossBA").as("anyLAba"), col("overlap").as("anyOverlap"),
+        (col("covAbyB") || col("covBbyA") || col("overlap"))
+          .as("anyNotCross"),
+        expr("IF(covAbyB, shiftleft(1L, subA), 0L)").as("covAM"),
+        expr("IF(covBbyA, shiftleft(1L, subB), 0L)").as("covBM"),
+        expr("IF(contAinB, shiftleft(1L, subA), 0L)").as("contAM"),
+        expr("IF(contBinA, shiftleft(1L, subB), 0L)").as("contBM"),
+        expr("IF(subEq, shiftleft(1L, subA), 0L)").as("eqAM"),
+        expr("IF(subEq, shiftleft(1L, subB), 0L)").as("eqBM"))
+    fusedDf.union(bigPre)
+  }
+
+  /** Merge fused partials and assemble relations. */
+  def aggregateFromPre(spark: SparkSession, pre: DataFrame,
+      cfg: SpatialConfig): DataFrame = {
+    if (cfg.mode == "distance") {
+      val agg = pre.groupBy(col("gidA"), col("gidB"))
+        .agg(min(col("dist")).as("dist"))
+      val fwd = agg.select(col("gidA").as("a_id"), col("dist"),
+        col("gidB").as("b_id"))
+      val rels =
+        if (cfg.selfJoin)
+          fwd.union(agg.select(col("gidB").as("a_id"), col("dist"),
+            col("gidA").as("b_id")))
+        else fwd
+      return rels.distinct()
+    }
+    val agg1 = pre.groupBy(col("gidA"), col("gidB")).agg(
+      max(col("nA")).as("nA"), max(col("nB")).as("nB"),
+      max(col("maxSubA")).as("maxSubA"), max(col("maxSubB")).as("maxSubB"),
+      max(col("isect")).as("isect"),
+      max(col("anyTouch")).as("anyTouch"),
+      max(col("anyNotTouch")).as("anyNotTouch"),
+      max(col("anyLLCross")).as("anyLLCross"),
+      max(col("anyLAab")).as("anyLAab"),
+      max(col("anyLAba")).as("anyLAba"),
+      max(col("anyOverlap")).as("anyOverlap"),
+      max(col("anyNotCross")).as("anyNotCross"),
+      expr("bit_or(covAM)").as("covAM"),
+      expr("bit_or(covBM)").as("covBM"),
+      expr("bit_or(contAM)").as("contAM"),
+      expr("bit_or(contBM)").as("contBM"),
+      expr("bit_or(eqAM)").as("eqAM"),
+      expr("bit_or(eqBM)").as("eqBM"))
+    relsFrom(fastVerdicts(agg1), cfg, dedup = false)
   }
 
   /** Full pipeline: sub-geometries (+ refs) -> relations DataFrame. */
@@ -563,16 +909,39 @@ object SpatialJoin {
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     if (spark.conf.getOption(fbKey).forall(_.toLong < (1 << 22)))
       spark.conf.set(fbKey, (1 << 22).toString)
-    // the payload table is scanned by both attach joins (and by fanout for
-    // ref target kinds); materialize it once
+    // the payload table is scanned by several branches (cell explode, big
+    // split, fanout target kinds); materialize it once
     val g = geoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidates(spark, g, cfg)
-    val flags = refine(spark, cands, cfg)
     val edges = refs.collect()
-    if (edges.isEmpty) aggregate(spark, flags, cfg, hadRefs = false)
-    else {
-      val fanned = fanout(spark, flags, edges, g, cfg)
-      aggregate(spark, fanned, cfg, hadRefs = true)
+    // ONE stats job over the cached geoms (it also materializes the cache):
+    // mean padded extent -> adaptive cell size, max(nSubs) -> whether the
+    // >63-part fallback branch needs planning at all (see aggregate)
+    val statsRow = padDf(g.toDF(), cfg).agg(
+      avg(greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
+        .cast("double")),
+      max(col("nSubs"))).head()
+    val meanExtent = if (statsRow.isNullAt(0)) 0.0 else statsRow.getDouble(0)
+    val bigMultis = !statsRow.isNullAt(1) && statsRow.getInt(1) > 63
+    val cfgCs =
+      if (cfg.cellSize > 0) cfg
+      else cfg.copy(cellSize =
+        cellSizeFor(meanExtent, distMode = cfg.withinDist >= 0))
+
+    if (edges.isEmpty && !bigMultis && cfg.mode != "de9im") {
+      // dominant case: fused kernel (see fusedPairs)
+      return aggregateFromPre(spark, fusedPairs(spark, g, cfgCs), cfgCs)
+    }
+    {
+      val cands = candidates(spark, g, cfgCs)
+      val flags = refine(spark, cands, cfgCs)
+      if (edges.isEmpty)
+        aggregate(spark, flags, cfgCs, hadRefs = false,
+          mayHaveBigMultis = bigMultis)
+      else {
+        val fanned = fanout(spark, flags, edges, g, cfgCs)
+        aggregate(spark, fanned, cfgCs, hadRefs = true,
+          mayHaveBigMultis = bigMultis)
+      }
     }
   }
 }

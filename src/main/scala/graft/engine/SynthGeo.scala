@@ -27,9 +27,16 @@ object SynthGeo {
   private final val LON0 = 5.0; private final val LONW = 10.0
   private final val LAT0 = 47.0; private final val LATH = 8.0
 
-  def make(seed: Long, id: Long): SubGeom = {
-    // cluster centers: 1024 towns; geometries scatter near a town
-    val town = (u(seed, id, 1) * 1024).toInt
+  /** Town count scales with n above 1M so geometry DENSITY (and thus output
+    * relations per geometry) stays constant as the benchmark grows — with a
+    * fixed town count the pair count grows quadratically and any scaling
+    * measurement just measures output explosion. n <= ~1M keeps the
+    * round-1-comparable 1024 towns. */
+  def townsFor(n: Long): Int = math.max(1024L, n / 1000L).toInt
+
+  def make(seed: Long, id: Long, nTowns: Int = 1024): SubGeom = {
+    // cluster centers: geometries scatter near a town
+    val town = (u(seed, id, 1) * nTowns).toInt
     val tLon = LON0 + u(seed, town, 101) * LONW
     val tLat = LAT0 + u(seed, town, 102) * LATH
     val cLon = tLon + (u(seed, id, 2) - 0.5) * 0.1
@@ -84,6 +91,7 @@ object SynthGeo {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism * 2
-    spark.range(0, n, 1, parts).map(id => make(seed, id))
+    val nTowns = townsFor(n)
+    spark.range(0, n, 1, parts).map(id => make(seed, id, nTowns))
   }
 }

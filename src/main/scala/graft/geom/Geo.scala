@@ -270,7 +270,10 @@ final class EdgeIndex(
 object EdgeIndex {
   def build(g: Geo.G, xAxis: Boolean): EdgeIndex = {
     val n = g.edgeCount
-    val minCs = new Array[Int](n)
+    // pack (minC - Int.MinValue, edgeId) into one long per edge and sort the
+    // primitive array — index construction runs on every refine-cache miss,
+    // so no boxing (sortBy allocated one Integer per vertex per rebuild)
+    val packed = new Array[Long](n)
     var maxSpan = 0
     var e = 0
     while (e < n) {
@@ -280,11 +283,19 @@ object EdgeIndex {
       val mn = math.min(a, b)
       val span = math.abs(a - b)
       if (span > maxSpan) maxSpan = span
-      minCs(e) = mn
+      packed(e) = ((mn.toLong - Int.MinValue) << 32) | e.toLong
       e += 1
     }
-    val order = Array.range(0, n).sortBy(minCs)
-    val sortedMin = order.map(minCs)
+    java.util.Arrays.sort(packed)
+    val order = new Array[Int](n)
+    val sortedMin = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val p = packed(k)
+      order(k) = (p & 0xffffffffL).toInt
+      sortedMin(k) = ((p >>> 32) + Int.MinValue).toInt
+      k += 1
+    }
     new EdgeIndex(order, sortedMin, maxSpan)
   }
 }
