@@ -94,6 +94,18 @@ object Bench {
     val tLow = bestOf2(nLow)
     val tHigh = bestOf2(nHigh)
 
+    // skew leg: one continent polygon + the point cloud — proves the
+    // multi-level cover handles planet-scale geometries through the shuffle
+    // (no broadcast, flat memory); see SynthGeo.skewDataset
+    val sSkew = session(cpus)
+    val tSk0 = System.nanoTime()
+    val skewRels = SpatialJoin.run(sSkew,
+      SynthGeo.skewDataset(sSkew, nGeoms),
+      { import sSkew.implicits._; sSkew.emptyDataset[graft.engine.RefEdge] },
+      SpatialConfig()).count()
+    val tSkew = (System.nanoTime() - tSk0) / 1e9
+    sSkew.stop()
+
     val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
     val pairsPerSec = nRels / tMain
     val geomsPerSec = nGeoms / tMain
@@ -102,7 +114,8 @@ object Bench {
         s""""relations_per_sec":$pairsPerSec,"geoms_per_sec":$geomsPerSec,""" +
         s""""cores_main":$cpus,""" +
         s""""cores_low":$nLow,"cores_high":$nHigh,"sec_low":$tLow,""" +
-        s""""sec_high":$tHigh,"scaling_efficiency":$eff}"""
+        s""""sec_high":$tHigh,"scaling_efficiency":$eff,""" +
+        s""""skew_sec":$tSkew,"skew_relations":$skewRels}"""
 
     println(s"""{"metric":"total","value":${total + tMain},"unit":"sec",""" +
       s""""queries":$qs,"errors":$errJson,"spatial":$spatial,"sf":"$sfDir"}""")

@@ -77,6 +77,9 @@ object SpatialBench {
           SpatialJoin.refine(spark,
             SpatialJoin.candidates(spark, geoms, SpatialConfig()),
             SpatialConfig()).count()
+        case "skew" =>
+          SpatialJoin.run(spark, SynthGeo.skewDataset(spark, n), refs,
+            SpatialConfig()).count()
         case _ =>
           SpatialJoin.run(spark, geoms, refs, SpatialConfig()).count()
       }

@@ -10,10 +10,9 @@ final case class SpatialConfig(
     mode: String = "predicates", // predicates | de9im | distance
     withinDist: Double = -1.0,
     selfJoin: Boolean = true,
-    /** geometries covering more than this many grid cells join from the
-      * broadcast side instead of exploding (planet-polygon path; the
-      * reference routes these to a shared `large` cache slot,
-      * Sweeper.h:223). */
+    /** UNUSED since round 2 (kept for source compat): big geometries now
+      * get a coarser-level cell cover instead of a broadcast join — see
+      * SpatialJoin.cellCover. */
     bigCellThreshold: Int = 64,
     /** override the adaptive cell size (int coords); <=0 = adaptive. */
     cellSize: Long = -1L)
@@ -81,41 +80,69 @@ object SpatialJoin {
         .drop("pad")
     } else base
 
-  /** Shared cell machinery: padded bboxes, adaptive cell size, small-side
-    * cell explode, and the big-geometry split.
-    * Returns (exploded small side incl. `cell`, unexploded small side,
-    * big side, cell size). */
-  private def cellParts(geoms: Dataset[SubGeom], cfg: SpatialConfig)
-      : (DataFrame, DataFrame, DataFrame, Long) = {
+  /** Levels grow by 8x linear cell size; a geometry's native level is the
+    * smallest whose bbox-range cover is <= ~8x8 cells. Everything joins
+    * through the shuffle at bounded fan-out — there is NO broadcast of big
+    * geometries (an unbounded >N-cell tail OOMs at planet scale; the
+    * reference instead caps its boxIds recursion, BoxIds.h:41-223). */
+  final val LEVEL_FACTOR_BITS = 3 // 8x per level
+  final val LEVEL_SPAN = 7L // native level: extent <= 7 cells
+  /** cell key packing: level in bits 56+, biased cx/cy in two 28-bit
+    * fields. The bias keeps the key non-negative even for padded bboxes
+    * reaching past the world edge (negative cx/cy) — an unsigned shift on
+    * a negative key would otherwise read a garbage level. */
+  final val CELL_BIAS = 1L << 26
+  final val CELL_XY_BITS = 28
+  final val CELL_LVL_SHIFT = 56
+
+  /** Native cover level of an extent at base cell size cs. */
+  def levelFor(extent: Long, cs: Long): Int = {
+    var l = 0
+    var s = cs * LEVEL_SPAN
+    while (extent > s && l < 15) { l += 1; s = s << LEVEL_FACTOR_BITS }
+    l
+  }
+
+  private def nlvlCol(cs: Long): Column = {
+    val w = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
+      .cast("long")
+    // smallest l with w <= 7 * cs * 8^l  (same arithmetic as levelFor)
+    val terms = (0 until 15).map { l =>
+      when(w <= lit(LEVEL_SPAN * cs) * lit(1L << (LEVEL_FACTOR_BITS * l)), l)
+    }
+    coalesce(terms :+ lit(15): _*)
+  }
+
+  /** Multi-level cell cover: each sub-geometry emits its bbox-range cover
+    * at its native level and at every coarser ACTIVE level (levels some
+    * geometry is native to), with the level packed into the cell key. A
+    * pair (a,b) is examined exactly once: in the first common cell at
+    * level max(a.nlvl, b.nlvl). Returns (exploded cover, cell size). */
+  private def cellCover(geoms: Dataset[SubGeom], cfg: SpatialConfig,
+      activeLevels: Seq[Int]): (DataFrame, Long) = {
     val padded = padDf(geoms.toDF(), cfg)
+    require(cfg.cellSize > 0, "cellCover needs a resolved cellSize")
+    val cs = cfg.cellSize
 
-    val cs = if (cfg.cellSize > 0) cfg.cellSize
-      else adaptiveCellSize(
-        padded.select(col("minX"), col("minY"), col("maxX"), col("maxY")),
-        distMode = cfg.withinDist >= 0)
-
-    val withCells = padded
-      .withColumn("cx0", floor((col("minX") + lit(WORLD_W / 2)) / cs))
-      .withColumn("cx1", floor((col("maxX") + lit(WORLD_W / 2)) / cs))
-      .withColumn("cy0", floor((col("minY") + lit(WORLD_W / 2)) / cs))
-      .withColumn("cy1", floor((col("maxY") + lit(WORLD_W / 2)) / cs))
-      .withColumn("ncells",
-        (col("cx1") - col("cx0") + 1) * (col("cy1") - col("cy0") + 1))
-
-    val small = withCells.filter(col("ncells") <= cfg.bigCellThreshold)
-    val big = withCells.filter(col("ncells") > cfg.bigCellThreshold)
-      .drop("cx0", "cx1", "cy0", "cy1", "ncells")
-
-    // explode cells for the small side (payload rides along; mean cover is
-    // ~1-2 cells at the adaptive cell size)
-    val exploded = small
+    val lvls = activeLevels.distinct.sorted
+    val lvlArr = array(lvls.map(lit(_)): _*)
+    val w2 = lit(WORLD_W / 2)
+    val csL = (lit(cs) *
+      expr(s"shiftleft(1L, lvl * $LEVEL_FACTOR_BITS)")).cast("double")
+    val exploded = padded
+      .withColumn("nlvl", nlvlCol(cs))
+      .withColumn("lvl", explode(filter(lvlArr, l => l >= col("nlvl"))))
+      .withColumn("cx0", floor((col("minX") + w2) / csL))
+      .withColumn("cx1", floor((col("maxX") + w2) / csL))
+      .withColumn("cy0", floor((col("minY") + w2) / csL))
+      .withColumn("cy1", floor((col("maxY") + w2) / csL))
       .withColumn("cx", explode(sequence(col("cx0"), col("cx1"))))
       .withColumn("cy", explode(sequence(col("cy0"), col("cy1"))))
-      .withColumn("cell", col("cx") * 4294967296L + col("cy"))
-      .drop("cx0", "cx1", "cy0", "cy1", "ncells", "cx", "cy")
-
-    val smallU = small.drop("cx0", "cx1", "cy0", "cy1", "ncells")
-    (exploded, smallU, big, cs)
+      .withColumn("cell", shiftleft(col("lvl").cast("long"), CELL_LVL_SHIFT) +
+        (col("cx") + lit(CELL_BIAS)) * lit(1L << CELL_XY_BITS) +
+        (col("cy") + lit(CELL_BIAS)))
+      .drop("cx0", "cx1", "cy0", "cy1", "cx", "cy")
+    (exploded, cs)
   }
 
   private def sideStruct(alias: String): Column = struct(
@@ -126,42 +153,40 @@ object SpatialJoin {
     col(s"$alias.minY").as("minY"), col(s"$alias.maxX").as("maxX"),
     col(s"$alias.maxY").as("maxY"))
 
-  /** Pairs involving cell-cover giants: bbox join from the broadcast side;
-    * each unordered pair exactly once (small-big always lands small=a;
-    * big-big pairs are gid-ordered; non-self keeps side0 on a). */
-  private def bigPairs(smallU: DataFrame, big: DataFrame,
-      cfg: SpatialConfig): DataFrame = {
-    val bboxOverlap =
-      col("a.minX") <= col("b.maxX") && col("b.minX") <= col("a.maxX") &&
-        col("a.minY") <= col("b.maxY") && col("b.minY") <= col("a.maxY")
-    val gidOrder = col("a.gid") < col("b.gid")
-    val sides = col("a.side") === 0 && col("b.side") === 1
-    val smallBig =
-      if (cfg.selfJoin)
-        smallU.alias("a").join(broadcast(big.alias("b")),
-          bboxOverlap && !(col("a.gid") === col("b.gid")))
-      else
-        smallU.alias("a").join(broadcast(big.alias("b")),
-          bboxOverlap && sides)
-          .union(big.alias("a").join(broadcast(smallU.alias("b")),
-            bboxOverlap && sides))
-    val bigBig =
-      big.alias("a").join(broadcast(big.alias("b")),
-        bboxOverlap && (if (cfg.selfJoin) gidOrder else sides))
-    def pick(df: DataFrame): DataFrame =
-      df.select(sideStruct("a").as("_1"), sideStruct("b").as("_2"),
-        lit(-1L).as("cell"))
-    pick(smallBig).union(pick(bigBig))
+  /** One pass of cover statistics over the (typically cached) geometries:
+    * resolved cell size, the set of ACTIVE native levels, and whether any
+    * geometry has >63 parts. A second tiny agg runs only when some
+    * geometry needs a level above 0. */
+  def coverSpec(geoms: Dataset[SubGeom], cfg: SpatialConfig)
+      : (SpatialConfig, Seq[Int], Boolean) = {
+    val padded = padDf(geoms.toDF(), cfg)
+    val distMode = cfg.withinDist >= 0
+    val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
+    val r = padded.agg(avg(ext.cast("double")), max(ext.cast("long")),
+      max(col("nSubs"))).head()
+    val meanExt = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val maxExt = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val bigMultis = !r.isNullAt(2) && r.getInt(2) > 63
+    val cs = if (cfg.cellSize > 0) cfg.cellSize
+      else cellSizeFor(meanExt, distMode)
+    val lvls =
+      if (levelFor(maxExt, cs) == 0) Seq(0)
+      else padded.agg(collect_set(nlvlCol(cs))).head()
+        .getSeq[Int](0).sorted
+    (cfg.copy(cellSize = cs), lvls, bigMultis)
   }
 
   /** Candidate sub-geometry pairs for the NON-fused path (de9im mode, <ref>
-    * fanout, >63-part multis): cell equi-join (payloads ride through the
-    * shuffle, output cell-grouped for refine's per-cell cache) plus the
-    * broadcast bbox join for cell-cover giants; each pair exactly once. */
+    * fanout, >63-part multis): multi-level cell equi-join — payloads ride
+    * through the shuffle, output cell-grouped for refine's per-cell cache;
+    * each pair exactly once (first common cell at level max(nlvlA,nlvlB)). */
   def candidates(spark: SparkSession, geoms: Dataset[SubGeom],
-      cfg: SpatialConfig): DataFrame = {
+      cfg: SpatialConfig, activeLevels: Seq[Int] = null): DataFrame = {
 
-    val (exploded, smallU, big, cs) = cellParts(geoms, cfg)
+    val (cfg2, lvls) =
+      if (activeLevels != null && cfg.cellSize > 0) (cfg, activeLevels)
+      else { val (c, l, _) = coverSpec(geoms, cfg); (c, l) }
+    val (exploded, cs) = cellCover(geoms, cfg2, lvls)
 
     val bboxOverlap =
       col("a.minX") <= col("b.maxX") && col("b.minX") <= col("a.maxX") &&
@@ -174,27 +199,31 @@ object SpatialJoin {
 
     val a = exploded.alias("a")
     val b = exploded.alias("b")
-    // report each pair only in the first common cell (min corner of the
-    // bbox intersection) -> no dropDuplicates shuffle needed
+    // pair examined only at level max(a.nlvl, b.nlvl), in the first common
+    // cell (min corner of the bbox intersection) -> no dedup shuffle
+    val csL = (lit(cs) *
+      expr(s"shiftleft(1L, a.lvl * $LEVEL_FACTOR_BITS)")).cast("double")
     val refCell =
-      floor((greatest(col("a.minX"), col("b.minX")) + lit(WORLD_W / 2)) / cs) *
-        4294967296L +
-        floor((greatest(col("a.minY"), col("b.minY")) + lit(WORLD_W / 2)) / cs)
+      shiftleft(col("a.lvl").cast("long"), CELL_LVL_SHIFT) +
+        (floor((greatest(col("a.minX"), col("b.minX")) + lit(WORLD_W / 2)) / csL)
+          + lit(CELL_BIAS)) * lit(1L << CELL_XY_BITS) +
+        (floor((greatest(col("a.minY"), col("b.minY")) + lit(WORLD_W / 2)) / csL)
+          + lit(CELL_BIAS))
     val ssDisc = if (cfg.selfJoin) gidOrder else sides
     // force a sort-merge join: the cell join is data-scale x data-scale
     // (size estimates through the typed source chain are useless and would
     // broadcast the whole exploded side), and SMJ's cell-sorted output is
     // exactly the group order refine's per-cell geometry cache needs
-    val smallPairs = a.hint("merge").join(b, col("a.cell") === col("b.cell") &&
-      bboxOverlap && ssDisc && col("a.cell") === refCell)
+    val pairs = a.hint("merge").join(b, col("a.cell") === col("b.cell") &&
+      bboxOverlap && ssDisc &&
+      greatest(col("a.nlvl"), col("b.nlvl")) === col("a.lvl") &&
+      col("a.cell") === refCell)
 
     // the join cell rides along: refine keys its geometry cache per cell
     // group (SMJ output is cell-ordered), building each geometry exactly
     // once per group instead of LRU-thrashing on the cyclic access pattern
-    smallPairs
-      .select(sideStruct("a").as("_1"), sideStruct("b").as("_2"),
-        col("a.cell").as("cell"))
-      .union(bigPairs(smallU, big, cfg))
+    pairs.select(sideStruct("a").as("_1"), sideStruct("b").as("_2"),
+      col("a.cell").as("cell"))
   }
 
   /** Schema of refined flag rows == the FlagRow case-class schema, so typed
@@ -657,6 +686,7 @@ object SpatialJoin {
       val kind: Int,
       val minX: Int, val minY: Int, val maxX: Int, val maxY: Int,
       val dMin: Long, val dMax: Long, val eMin: Long, val eMax: Long,
+      val nlvl: Int,
       val g: Geo.G)
 
   /** Partial relation state per (gidA, gidB). */
@@ -681,18 +711,21 @@ object SpatialJoin {
     * agg1-shaped partial rows (predicates) or (gidA,gidB,dist) partials
     * (distance); [[aggregateFromPre]] merges them. */
   def fusedPairs(spark: SparkSession, geoms: Dataset[SubGeom],
-      cfg: SpatialConfig): DataFrame = {
-    val (exploded, smallU, big, cs) = cellParts(geoms, cfg)
+      cfg: SpatialConfig, activeLevels: Seq[Int] = null): DataFrame = {
+    val (cfg2, lvls) =
+      if (activeLevels != null && cfg.cellSize > 0) (cfg, activeLevels)
+      else { val (c, l, _) = coverSpec(geoms, cfg); (c, l) }
+    val (exploded, cs) = cellCover(geoms, cfg2, lvls)
     val distMode = cfg.mode == "distance"
     val wd = cfg.withinDist
     val selfJoin = cfg.selfJoin
     val w2 = WORLD_W / 2
-    val csD = cs.toDouble
     val schema = if (distMode) distRowSchema else aggRowSchema
 
     val src = exploded.select(col("cell"), col("gid"), col("side"),
       col("subId"), col("nSubs"), col("kind"), col("coords"),
-      col("ringEnds"), col("minX"), col("minY"), col("maxX"), col("maxY"))
+      col("ringEnds"), col("minX"), col("minY"), col("maxX"), col("maxY"),
+      col("nlvl"))
     val sorted = src.repartition(col("cell")).sortWithinPartitions(col("cell"))
 
     val rdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
@@ -702,8 +735,16 @@ object SpatialJoin {
       val proj = UnsafeProjection.create(schema)
       val out = new SpecificInternalRow(schema)
       val aggMap = new java.util.HashMap[PKey, AggState](1 << 12)
-      val group = new scala.collection.mutable.ArrayBuffer[GeomRef](64)
+      // split buffers: a pair is examined only at level max(nlvlA, nlvlB),
+      // so at least one side must be NATIVE to the current level —
+      // visitor x visitor pairs (both finer-native) are skipped wholesale,
+      // which keeps a coarse cell full of points LINEAR in the presence of
+      // one continent polygon instead of quadratic
+      val natives = new scala.collection.mutable.ArrayBuffer[GeomRef](64)
+      val visitors = new scala.collection.mutable.ArrayBuffer[GeomRef](64)
       var curCell = Long.MinValue
+      var curLevel = 0
+      var csLD = cs.toDouble
       val probe = new PKey(null, null)
 
       def stateOf(a: String, b: String): AggState = {
@@ -714,8 +755,9 @@ object SpatialJoin {
       }
 
       def cellOf(x: Int, y: Int): Long =
-        math.floor((x + w2) / csD).toLong * 4294967296L +
-          math.floor((y + w2) / csD).toLong
+        (curLevel.toLong << CELL_LVL_SHIFT) +
+          (math.floor((x + w2) / csLD).toLong + CELL_BIAS) * (1L << CELL_XY_BITS) +
+          (math.floor((y + w2) / csLD).toLong + CELL_BIAS)
 
       def processPair(p: GeomRef, q: GeomRef): Unit = {
         var a = p; var b = q
@@ -789,7 +831,7 @@ object SpatialJoin {
         new GeomRef(row.getUTF8String(1).toString, row.getInt(2),
           row.getInt(3), row.getInt(4), row.getInt(5),
           row.getInt(8), row.getInt(9), row.getInt(10), row.getInt(11),
-          dMin, dMax, eMin, eMax,
+          dMin, dMax, eMin, eMax, row.getInt(12),
           new Geo.G(row.getInt(5), coords, row.getArray(7).toIntArray()))
       }
 
@@ -822,11 +864,22 @@ object SpatialJoin {
             while (rows.hasNext && aggMap.size() < (1 << 20)) {
               val row = rows.next()
               val cell = row.getLong(0)
-              if (cell != curCell) { group.clear(); curCell = cell }
+              if (cell != curCell) {
+                natives.clear(); visitors.clear(); curCell = cell
+                curLevel = (cell >>> CELL_LVL_SHIFT).toInt
+                csLD = (cs << (LEVEL_FACTOR_BITS * curLevel)).toDouble
+              }
               val ref = makeRef(row)
               var i = 0
-              while (i < group.length) { processPair(group(i), ref); i += 1 }
-              group += ref
+              if (ref.nlvl == curLevel) {
+                while (i < natives.length) { processPair(natives(i), ref); i += 1 }
+                i = 0
+                while (i < visitors.length) { processPair(visitors(i), ref); i += 1 }
+                natives += ref
+              } else {
+                while (i < natives.length) { processPair(natives(i), ref); i += 1 }
+                visitors += ref
+              }
             }
             drain = aggMap.entrySet().iterator()
           }
@@ -838,31 +891,7 @@ object SpatialJoin {
         }
       }
     }
-    val fusedDf = org.apache.spark.sql.GraftInternal.internalDf(
-      spark, rdd, schema)
-
-    // giants go through the broadcast bbox joins + per-pair refine, then
-    // convert each raw flag row into a single-pair partial
-    val bigFlags = refine(spark, bigPairs(smallU, big, cfg), cfg)
-      .filter(col("gidA") =!= col("gidB"))
-    val bigPre =
-      if (distMode) bigFlags.select(col("gidA"), col("gidB"), col("dist"))
-      else bigFlags.select(
-        col("gidA"), col("gidB"), col("nA"), col("nB"),
-        col("subA").as("maxSubA"), col("subB").as("maxSubB"),
-        col("isect"),
-        col("touch").as("anyTouch"), col("notTouch").as("anyNotTouch"),
-        col("llCross").as("anyLLCross"), col("laCrossAB").as("anyLAab"),
-        col("laCrossBA").as("anyLAba"), col("overlap").as("anyOverlap"),
-        (col("covAbyB") || col("covBbyA") || col("overlap"))
-          .as("anyNotCross"),
-        expr("IF(covAbyB, shiftleft(1L, subA), 0L)").as("covAM"),
-        expr("IF(covBbyA, shiftleft(1L, subB), 0L)").as("covBM"),
-        expr("IF(contAinB, shiftleft(1L, subA), 0L)").as("contAM"),
-        expr("IF(contBinA, shiftleft(1L, subB), 0L)").as("contBM"),
-        expr("IF(subEq, shiftleft(1L, subA), 0L)").as("eqAM"),
-        expr("IF(subEq, shiftleft(1L, subB), 0L)").as("eqBM"))
-    fusedDf.union(bigPre)
+    org.apache.spark.sql.GraftInternal.internalDf(spark, rdd, schema)
   }
 
   /** Merge fused partials and assemble relations. */
@@ -909,30 +938,20 @@ object SpatialJoin {
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     if (spark.conf.getOption(fbKey).forall(_.toLong < (1 << 22)))
       spark.conf.set(fbKey, (1 << 22).toString)
-    // the payload table is scanned by several branches (cell explode, big
-    // split, fanout target kinds); materialize it once
+    // the payload table is scanned by several branches (stats, cover
+    // explode, fanout target kinds); materialize it once
     val g = geoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = refs.collect()
-    // ONE stats job over the cached geoms (it also materializes the cache):
-    // mean padded extent -> adaptive cell size, max(nSubs) -> whether the
-    // >63-part fallback branch needs planning at all (see aggregate)
-    val statsRow = padDf(g.toDF(), cfg).agg(
-      avg(greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
-        .cast("double")),
-      max(col("nSubs"))).head()
-    val meanExtent = if (statsRow.isNullAt(0)) 0.0 else statsRow.getDouble(0)
-    val bigMultis = !statsRow.isNullAt(1) && statsRow.getInt(1) > 63
-    val cfgCs =
-      if (cfg.cellSize > 0) cfg
-      else cfg.copy(cellSize =
-        cellSizeFor(meanExtent, distMode = cfg.withinDist >= 0))
+    // one stats pass over the cached geoms (it also materializes the
+    // cache): cell size, active cover levels, >63-part flag
+    val (cfgCs, lvls, bigMultis) = coverSpec(g, cfg)
 
     if (edges.isEmpty && !bigMultis && cfg.mode != "de9im") {
       // dominant case: fused kernel (see fusedPairs)
-      return aggregateFromPre(spark, fusedPairs(spark, g, cfgCs), cfgCs)
+      return aggregateFromPre(spark, fusedPairs(spark, g, cfgCs, lvls), cfgCs)
     }
     {
-      val cands = candidates(spark, g, cfgCs)
+      val cands = candidates(spark, g, cfgCs, lvls)
       val flags = refine(spark, cands, cfgCs)
       if (edges.isEmpty)
         aggregate(spark, flags, cfgCs, hadRefs = false,

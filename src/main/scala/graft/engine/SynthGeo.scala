@@ -86,6 +86,37 @@ object SynthGeo {
       g.minX, g.minY, g.maxX, g.maxY)
   }
 
+  /** Skew probe input: one continent-sized polygon covering the whole
+    * generator bbox plus n points — the worst case for any broadcast-big
+    * design (the giant pairs with EVERY point). With the multi-level cell
+    * cover the giant sits at a coarse level with a bounded cover and every
+    * point emits one extra row at that level; memory stays flat. */
+  def skewDataset(spark: SparkSession, n: Long, seed: Long = 42L)
+      : Dataset[SubGeom] = {
+    import spark.implicits._
+    val nVerts = 512
+    val ring = new Array[Int](2 * nVerts)
+    var i = 0
+    while (i < nVerts) {
+      val ang = 2 * math.Pi * i / nVerts
+      // ellipse inscribed over the full country bbox, vertices jittered
+      val jit = 0.9 + 0.1 * u(seed, i, 7001)
+      ring(2 * i) = Geo.projX(LON0 + LONW / 2 + math.cos(ang) * LONW * jit)
+      ring(2 * i + 1) = Geo.projY(LAT0 + LATH / 2 + math.sin(ang) * LATH * jit)
+      i += 1
+    }
+    val giant = Geo.G.polygon(Array(ring))
+    val giantRow = SubGeom("continent", 0, 0, 1, 2, giant.coords,
+      giant.ringEnds, giant.minX, giant.minY, giant.maxX, giant.maxY)
+    val pts = spark.range(0, n, 1,
+      spark.sparkContext.defaultParallelism * 2).map { id =>
+      val nTowns = townsFor(n)
+      val g = make(seed, id, nTowns)
+      g
+    }.filter(_.kind == 0)
+    pts.union(spark.createDataset(Seq(giantRow)))
+  }
+
   def dataset(spark: SparkSession, n: Long, seed: Long = 42L,
       partitions: Int = 0): Dataset[SubGeom] = {
     import spark.implicits._

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import graft.geom.Geo
 
 /** Snapshots/checkpoint, pages byte-identity invariant, multimodal stubs,
   * and Structured Streaming semantics. */
@@ -23,6 +24,24 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("distance join finds pairs whose padded bboxes cross the world edge") {
+    // regression: padded covers west of -WORLD_W/2 produce NEGATIVE cell
+    // coordinates; the packed cell key must stay non-negative or the fused
+    // kernel reads a garbage level and drops the pair (found via
+    // sp_dist_join at sf0.01: points 0 and 12138 at lon ~-180, lat ~-80)
+    val s = spark
+    import s.implicits._
+    val (x0, y0) = (Geo.projX(-180.0), Geo.projY(-80.0))
+    val (x1, y1) = (Geo.projX(-179.178), Geo.projY(-79.402))
+    val pts = spark.createDataset(Seq(
+      SubGeom("a", 0, 0, 1, 0, Array(x0, y0), Array(1), x0, y0, x0, y0),
+      SubGeom("b", 0, 0, 1, 0, Array(x1, y1), Array(1), x1, y1, x1, y1)))
+    val rels = SpatialJoin.run(spark, pts, spark.emptyDataset[RefEdge],
+      SpatialConfig(mode = "distance", withinDist = 100000.0)).collect()
+    assert(rels.length == 2, rels.mkString(";"))
+    assert(rels.head.getDouble(1) > 60000 && rels.head.getDouble(1) < 80000)
+  }
 
   test("snapshot write/read round-trip with lineage metrics") {
     val root = java.nio.file.Files.createTempDirectory("snap").toString
