@@ -17,15 +17,19 @@ final case class SubGeom(
     ringEnds: Array[Int],
     minX: Int, minY: Int, maxX: Int, maxY: Int)
 
-/** One alias edge: `referer` declared as <...,target,...>; subId/nSubs are
-  * the referer's slot discipline (single-target ref => subId 0).
-  * (reference: src/spatialjoin/WKTParse.h:143-173, Sweeper.cpp:739-745) */
+/** One alias edge: `referer` takes over the relations computed for
+  * (`target`, `targetSub`); subId/nSubs are the referer's slot discipline.
+  * Authored `<...,target,...>` refs always point at target sub 0
+  * (reference: src/spatialjoin/WKTParse.h:143-173, Sweeper.cpp:739-745);
+  * the duplicate->reference rewrite (P9, Sweeper.cpp:1162-1309) adds
+  * per-sub edges with targetSub = the keeper's sub id. */
 final case class RefEdge(
     referer: String,
     side: Int,
     target: String,
     subId: Int,
-    nSubs: Int)
+    nSubs: Int,
+    targetSub: Int = 0)
 
 object Model {
 

@@ -15,7 +15,13 @@ final case class SpatialConfig(
       * SpatialJoin.cellCover. */
     bigCellThreshold: Int = 64,
     /** override the adaptive cell size (int coords); <=0 = adaptive. */
-    cellSize: Long = -1L)
+    cellSize: Long = -1L,
+    /** duplicate->reference rewrite (P9): lines/polygons with at least
+      * this many points are deduplicated before the join — exact copies
+      * become alias edges of one keeper and skip all pair work (reference
+      * DUPLICATE_REMOVAL_MIN_SIZE, Sweeper.h:397; its tests force 0).
+      * Negative disables. */
+    dupMinPoints: Int = 500)
 
 /** Per-sub-pair refinement output (the staging records of the reference's
   * write* calls, Sweeper.cpp:3579-3955, re-expressed as data). */
@@ -352,6 +358,48 @@ object SpatialJoin {
     org.apache.spark.sql.GraftInternal.internalDf(spark, rdd, schema)
   }
 
+  /** Duplicate -> reference rewrite (P9, reference Sweeper.cpp:1162-1309):
+    * exact-duplicate lines/polygons (same side, kind, coordinates, rings)
+    * with at least cfg.dupMinPoints points collapse into alias edges of one
+    * deterministic keeper (min gid/subId). The duplicates are then removed
+    * from the join input and take their relations from the keeper via the
+    * fanout — on OSM-class inputs full of copy-pasted heavy polygons every
+    * duplicate would otherwise pay the full refinement cost. */
+  def dupEdges(spark: SparkSession, geoms: Dataset[SubGeom],
+      cfg: SpatialConfig): Dataset[RefEdge] = {
+    import spark.implicits._
+    // eligibility mirrors the reference's type classes: only full LINE /
+    // POLYGON events are deduplicated, never the SIMPLE_*/FOLDED_* fast
+    // paths (2-point standalone lines, Sweeper.cpp:404; hole-free sub-0
+    // polygons with <10 outer points, Sweeper.cpp:244-259). The SIMPLE_*
+    // classes additionally require a single-cell boxId cover on the
+    // reference's 45000x45000 grid (BoxIds.h:16-23).
+    val gridW = WORLD_W / 45000.0
+    val w2c = lit(WORLD_W / 2.0)
+    val singleBox =
+      (floor((col("minX") + w2c) / gridW) === floor((col("maxX") + w2c) / gridW)) &&
+      (floor((col("minY") + w2c) / gridW) === floor((col("maxY") + w2c) / gridW))
+    val simpleLine = col("kind") === 1 &&
+      size(col("coords")) === 4 && col("subId") === 0 && singleBox
+    val simplePoly = col("kind") === 2 && col("subId") === 0 &&
+      size(col("ringEnds")) === 1 && size(col("coords")) < 20 && singleBox
+    geoms.toDF()
+      .filter(col("kind") =!= 0 && !simpleLine && !simplePoly &&
+        size(col("coords")) >= cfg.dupMinPoints * 2)
+      .groupBy(col("side"), col("kind"), col("coords"), col("ringEnds"))
+      .agg(collect_list(struct(col("gid"), col("subId"), col("nSubs")))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("side"), col("ms"))
+      .as[(Int, Seq[(String, Int, Int)])]
+      .flatMap { case (side, ms) =>
+        val sorted = ms.sortBy(m => (m._1, m._2))
+        val keeper = sorted.head
+        sorted.tail.map(d =>
+          RefEdge(d._1, side, keeper._1, d._2, d._3, keeper._2))
+      }
+  }
+
   /** Fan staged rows out through <ref> aliases, both sides, transitively
     * (reference: recursion inside every write*, e.g. Sweeper.cpp:2423-2450).
     * Also seeds self-relation rows for referenced geometries (selfCheck,
@@ -368,70 +416,122 @@ object SpatialJoin {
     if (edges.isEmpty) return flags
 
     // closure(target) = all direct and transitive referers with the
-    // (subId, nSubs) slot discipline of the top referer
-    val direct = edges.groupBy(_.target)
-    val closure = scala.collection.mutable.Map.empty[String, List[RefEdge]]
-    def referersOf(t: String, seen: Set[String]): List[RefEdge] =
+    // (subId, nSubs) slot discipline of the top referer. Keys are
+    // (target, targetSub): authored refs always sit at target sub 0; P9
+    // duplicate edges sit at the keeper's sub. The chain continues at the
+    // referer's WRITTEN slot, mirroring the reference's recursion
+    // (_refs[gid][sub], Sweeper.cpp:2423-2450).
+    val direct = edges.groupBy(e => (e.target, e.targetSub))
+    val closure =
+      scala.collection.mutable.Map.empty[(String, Int), List[RefEdge]]
+    def referersOf(t: (String, Int), seen: Set[(String, Int)])
+        : List[RefEdge] =
       closure.getOrElse(t, {
         val ds = direct.getOrElse(t, Array.empty[RefEdge]).toList
         val all = ds ++ ds.flatMap { e =>
-          // the reference's recursion looks referers up by the written
-          // subId (_refs[gid][sub], Sweeper.cpp:2423-2450): a chain
-          // continues only when the intermediate slot is 0 (single-target
-          // ref); multi-slot refs break the chain.
-          if (seen(e.referer) || e.subId != 0) Nil
-          else referersOf(e.referer, seen + e.referer)
-            .map(up => RefEdge(up.referer, up.side, t, up.subId, up.nSubs))
+          val up = (e.referer, e.subId)
+          if (seen(up)) Nil
+          else referersOf(up, seen + up)
+            .map(u => RefEdge(u.referer, u.side, t._1, u.subId, u.nSubs, t._2))
         }
         val dist = all.distinct
         closure(t) = dist
         dist
       })
-    edges.map(_.target).distinct.foreach(t => referersOf(t, Set(t)))
+    edges.map(e => (e.target, e.targetSub)).distinct
+      .foreach(t => referersOf(t, Set(t)))
 
     // self rows: (target, target) intersect/equal/cover/contain per
-    // referenced geometry; only meaningful once fanned to a referer
-    // (reference selfCheck, Sweeper.cpp:2453-2475).
-    val kinds = geoms.groupBy(col("gid")).agg(max(col("kind")).as("k"))
-    val selfRows = spark
-      .createDataset(edges.map(_.target).distinct.toSeq).toDF("target")
-      .join(kinds, col("target") === col("gid"), "left")
-      .select(col("target"), coalesce(col("k"), lit(-1)).as("k"))
-      .as[(String, Int)]
-      .map { case (t, k) =>
-        FlagRow(t, 0, 1, k, t, 0, 1, k,
+    // referenced (geometry, sub); only meaningful once fanned to a referer
+    // (reference selfCheck, Sweeper.cpp:2453-2475). Carries the target's
+    // side for the non-self write discipline below.
+    val tgtDf = spark.createDataset(
+      edges.map(e => (e.target, e.targetSub)).distinct.toSeq)
+      .toDF("t", "ts")
+    val selfRows = tgtDf
+      .join(geoms.toDF().select(col("gid"), col("subId"), col("kind"),
+        col("nSubs"), col("side")),
+        col("t") === col("gid") && col("ts") === col("subId"), "left")
+      .select(col("t"), col("ts"), coalesce(col("kind"), lit(-1)).as("k"),
+        coalesce(col("nSubs"), lit(1)).as("n"),
+        coalesce(col("side"), lit(0)).as("s"))
+      .as[(String, Int, Int, Int, Int)]
+      .map { case (t, ts, k, n, s) =>
+        (FlagRow(t, ts, n, k, t, ts, n, k,
           isect = true, covAbyB = true, covBbyA = true,
           contAinB = true, contBinA = true, subEq = true,
           touch = false, notTouch = false, llCross = false,
           laCrossAB = false, laCrossBA = false,
-          overlap = false, de9im = "", dist = 0.0)
+          overlap = false, de9im = "", dist = 0.0), s)
       }
+      .toDF("f", "s")
+      .selectExpr("f.*", "s as sideA", "s as sideB")
 
     val closDf = broadcast(spark.createDataset(
-      closure.toSeq.flatMap { case (t, rs) =>
-        rs.map(r => (t, r.referer, r.subId, r.nSubs))
-      }).toDF("c_target", "c_referer", "c_sub", "c_n"))
+      closure.toSeq.flatMap { case ((t, ts), rs) =>
+        rs.map(r => (t, ts, r.referer, r.subId, r.nSubs, r.side))
+      }).toDF("c_target", "c_tsub", "c_referer", "c_sub", "c_n", "c_rside"))
 
     def fan(df: DataFrame, onA: Boolean): DataFrame = {
       val key = if (onA) "gidA" else "gidB"
       val subKey = if (onA) "subA" else "subB"
-      // the reference registers referers only under target subId 0
-      // (_refs[raw][0], Sweeper.cpp:740): multi parts never fan.
       df.join(closDf,
-          df(key) === closDf("c_target") && df(subKey) === 0)
+          df(key) === closDf("c_target") && df(subKey) === closDf("c_tsub"))
         .withColumn(key, col("c_referer"))
         .withColumn(subKey, col("c_sub"))
         .withColumn(if (onA) "nA" else "nB", col("c_n"))
-        .drop("c_target", "c_referer", "c_sub", "c_n")
+        .withColumn(if (onA) "sideA" else "sideB", col("c_rside"))
+        .drop("c_target", "c_tsub", "c_referer", "c_sub", "c_n", "c_rside")
     }
 
     // expand side A (keeping originals), then side B of that result:
     // yields the full product closure(a) x closure(b), matching the
     // reference's recursive fanout in every write* call.
-    val base = flags.union(selfRows.toDF())
+    val base = flags
+      .withColumn("sideA", lit(0)).withColumn("sideB", lit(1))
+      .union(selfRows)
     val withA = base.union(fan(base, onA = true))
     val withAB = withA.union(fan(withA, onA = false))
-    withAB
+
+    if (!cfg.selfJoin) {
+      // non-self write discipline (reference writeRel, Sweeper.cpp:2287):
+      // only side0 x side1 rows survive — fanning a same-side duplicate
+      // seed would otherwise leak same-side relations
+      withAB.filter(col("sideA") === 0 && col("sideB") === 1)
+        .drop("sideA", "sideB")
+    } else {
+      // canonicalize every row to gidA <= gidB so each unordered pair
+      // aggregates in ONE group: a fanned fragment landing in the mirror
+      // group would see partial coverage information and mis-derive
+      // overlaps (observed on multitests 27/28 before this)
+      val sw = col("gidA") > col("gidB")
+      def pickCol(swapped: String, normal: String) =
+        when(sw, col(swapped)).otherwise(col(normal))
+      val m = col("de9im")
+      def ch(i: Int) = substring(m, i + 1, 1)
+      val mT = concat(ch(0), ch(3), ch(6), ch(1), ch(4), ch(7), ch(2),
+        ch(5), ch(8))
+      withAB.select(
+        pickCol("gidB", "gidA").as("gidA"),
+        pickCol("subB", "subA").as("subA"),
+        pickCol("nB", "nA").as("nA"),
+        pickCol("kindB", "kindA").as("kindA"),
+        pickCol("gidA", "gidB").as("gidB"),
+        pickCol("subA", "subB").as("subB"),
+        pickCol("nA", "nB").as("nB"),
+        pickCol("kindA", "kindB").as("kindB"),
+        col("isect"),
+        pickCol("covBbyA", "covAbyB").as("covAbyB"),
+        pickCol("covAbyB", "covBbyA").as("covBbyA"),
+        pickCol("contBinA", "contAinB").as("contAinB"),
+        pickCol("contAinB", "contBinA").as("contBinA"),
+        col("subEq"), col("touch"), col("notTouch"), col("llCross"),
+        pickCol("laCrossBA", "laCrossAB").as("laCrossAB"),
+        pickCol("laCrossAB", "laCrossBA").as("laCrossBA"),
+        col("overlap"),
+        when(sw && length(m) === 9, mT).otherwise(m).as("de9im"),
+        col("dist"))
+    }
   }
 
   /** Aggregate sub-pair flags into relations per (gidA, gidB), reproducing
@@ -940,8 +1040,26 @@ object SpatialJoin {
       spark.conf.set(fbKey, (1 << 22).toString)
     // the payload table is scanned by several branches (stats, cover
     // explode, fanout target kinds); materialize it once
-    val g = geoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = refs.collect()
+    val g0 = geoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // duplicate -> reference rewrite (P9); the edge set is collected to the
+    // driver and joined into the authored-alias closure. BOUND: duplicate
+    // edges are one short row per duplicate GEOMETRY (not per pair); a
+    // driver holding millions of them would need the rel-level distributed
+    // expansion instead — cap via dupMinPoints (default 500 points) keeps
+    // this to the heavy tail the rewrite is for.
+    val autoEdges =
+      if (cfg.dupMinPoints >= 0) dupEdges(spark, g0, cfg).collect()
+      else Array.empty[RefEdge]
+    val edges = refs.collect() ++ autoEdges
+    // drop duplicate sub-geometries from the join input: their relations
+    // come from the keeper via fanout
+    val g =
+      if (autoEdges.isEmpty) g0
+      else {
+        val dupKeys = autoEdges.map(e => (e.referer, e.side, e.subId)).toSet
+        g0.filter(r => !dupKeys((r.gid, r.side, r.subId)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     // one stats pass over the cached geoms (it also materializes the
     // cache): cell size, active cover levels, >63-part flag
     val (cfgCs, lvls, bigMultis) = coverSpec(g, cfg)
