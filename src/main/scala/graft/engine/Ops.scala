@@ -27,29 +27,89 @@ object Tiles {
   }
 }
 
-/** kNN over point geometries: distance join + windowed top-k
+/** kNN over point geometries: exact expanding cell-ring search
   * (north-rule operator; closest reference machinery is the
   * within-distance mode, src/spatialjoin/Sweeper.cpp:4015-4277). */
 object Knn {
 
-  /** For each query point (a sample of the input), the k nearest other
+  /** For each query point (a filter over the input), the k nearest other
     * points by squared euclidean int-space distance; deterministic
-    * tie-break on gid. Queries are broadcast (small side). */
-  def pointKnn(spark: SparkSession, pts0: DataFrame, queryFilter: org.apache.spark.sql.Column,
-      k: Int): DataFrame = {
-    // a cross join inherits the probe scan's partitioning; spread it first
-    val pts = pts0.repartition(spark.sparkContext.defaultParallelism * 2)
-    val q = pts.filter(queryFilter)
-      .select(col("gid").as("q_gid"), col("x").cast("long").as("qx"),
-        col("y").cast("long").as("qy"))
-    val w = Window.partitionBy(col("q_gid"))
+    * tie-break on gid.
+    *
+    * Scale-safe exact algorithm (replaces the round-1 crossJoin x
+    * broadcast-sample, whose work grew O(n * q)): points land once in a
+    * grid sized so a 3x3 neighborhood holds ~4k points; each round joins
+    * the unresolved queries' cell disk of radius r against the grid and
+    * resolves every query whose kth candidate lies within the guaranteed
+    * radius r*s (any unscanned point is strictly farther). r doubles per
+    * round, so isolated queries cost a handful of extra rounds instead of
+    * dragging a full scan for everyone.
+    */
+  def pointKnn(spark: SparkSession, pts0: DataFrame,
+      queryFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pts = pts0.select(col("gid"), col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"))
+    val st = pts.agg(count(lit(1)), min(col("x")), max(col("x")),
+      min(col("y")), max(col("y"))).head()
+    val n = math.max(st.getLong(0), 1L)
+    val w = math.max(st.getLong(2) - st.getLong(1) + 1, 1L)
+    val h = math.max(st.getLong(4) - st.getLong(3) + 1, 1L)
+    val s = math.max(1L,
+      math.sqrt(w.toDouble * h.toDouble * 4.0 * k / n.toDouble).toLong)
+    val cells = pts
+      .withColumn("cx", floor(col("x") / s))
+      .withColumn("cy", floor(col("y") / s))
+      .persist(lvl)
+    val queries0 = cells.filter(queryFilter)
+      .select(col("gid").as("q_gid"), col("x").as("qx"), col("y").as("qy"),
+        col("cx").as("qcx"), col("cy").as("qcy"))
+
+    val byQ = Window.partitionBy(col("q_gid"))
       .orderBy(col("dist2").asc, col("gid").asc)
-    val dx = col("x").cast("long") - col("qx")
-    val dy = col("y").cast("long") - col("qy")
-    pts.crossJoin(broadcast(q))
-      .filter(col("gid") =!= col("q_gid"))
-      .select(col("q_gid"), col("gid"), (dx * dx + dy * dy).as("dist2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    var unresolved = queries0.persist(lvl)
+    var results: DataFrame = null
+    var r = 1L
+    var done = false
+    while (!done) {
+      // disk of (2r+1)^2 cells covers everything once (2r+1)*s spans the
+      // data extent -> final round resolves unconditionally
+      val wholeWorld = (2 * r + 1) * s >= math.max(w, h)
+      val cand = unresolved
+        .withColumn("ox", explode(sequence(lit(-r), lit(r))))
+        .withColumn("oy", explode(sequence(lit(-r), lit(r))))
+        .withColumn("cx", col("qcx") + col("ox"))
+        .withColumn("cy", col("qcy") + col("oy"))
+        .join(cells, Seq("cx", "cy"))
+        .filter(col("gid") =!= col("q_gid"))
+        .select(col("q_gid"), col("gid"),
+          ((col("x") - col("qx")) * (col("x") - col("qx")) +
+            (col("y") - col("qy")) * (col("y") - col("qy"))).as("dist2"))
+      val ranked = cand.withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= k)
+        .persist(lvl)
+      val guarantee = (r * s) * (r * s)
+      val resolvedKeys = ranked.groupBy(col("q_gid").as("kq"))
+        .agg(count(lit(1)).as("nc"), max(col("dist2")).as("kd"))
+        .filter(lit(wholeWorld) ||
+          (col("nc") === k && col("kd") <= guarantee))
+        .select(col("kq"))
+        .persist(lvl)
+      val resolvedRows = ranked
+        .join(resolvedKeys, col("q_gid") === col("kq"), "left_semi")
+        .select(col("q_gid"), col("gid"), col("dist2"), col("rk"))
+        .persist(lvl)
+      results =
+        if (results == null) resolvedRows else results.union(resolvedRows)
+      if (wholeWorld) done = true
+      else {
+        unresolved = unresolved
+          .join(resolvedKeys, col("q_gid") === col("kq"), "left_anti")
+          .persist(lvl)
+        done = unresolved.isEmpty
+      }
+      r *= 2
+    }
+    results
   }
 }

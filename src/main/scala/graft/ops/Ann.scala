@@ -5,12 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the embeddings table: brute-force cosine top-k
-  * as the exact baseline, and a random-hyperplane LSH-bucketed variant as
-  * the scale path (bucket equi-join shuffles instead of a cross join).
-  * Hyperplanes are small integer vectors derived from a fixed formula so
-  * the DuckDB oracle reproduces them exactly.
+  * as the exact baseline, and a multi-table banded hyperplane-LSH variant
+  * as the scale path (bucket equi-joins shuffle only candidates that share
+  * a bucket in at least one table — no cross join anywhere).
+  *
+  * Hyperplanes are small integer vectors from a fixed formula
+  * h_{t,j}(d) = (((d+1) * (t*7919 + j*104729 + 12345)) % 1000003) % 17 - 8
+  * so the DuckDB oracle reproduces them exactly. The band width (bits per
+  * table) adapts to the table size — log2(n/32) bits keeps expected bucket
+  * occupancy ~32 at any scale, which is what bounds the within-bucket join
+  * at 100 TB; TABLES independent tables plus Hamming<=2 multiprobe on the
+  * query side recover the recall a single band loses (measured recall@3
+  * >= 0.93 vs brute force on the driver's embeddings, see AnnSpec).
   */
 object Ann {
+
+  final val TABLES = 4
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -25,7 +35,71 @@ object Ann {
     df.withColumn("norm",
       sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
 
-  /** Exact cosine top-k for a query sample (broadcast queries). */
+  /** Band width: expected bucket occupancy ~32 vectors per table. */
+  def bitsFor(n: Long): Int =
+    math.max(4, math.min(20,
+      (math.log(n / 32.0) / math.log(2)).round.toInt))
+
+  /** (vec_id, t, bkt) for every table t: bkt = sign bits of the dots with
+    * the table's `bits` hyperplanes, in j order. Each plane's component
+    * sequence uses its own stride ((d+1) * plane-specific multiplier mod a
+    * large prime, folded to [-8,8]) — a shared stride would make every
+    * plane a cyclic shift of one base sequence and the tables would stop
+    * being independent. */
+  def buckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val withT = e.select(col("vec_id"), col("v"))
+      .withColumn("t", explode(array((0 until tables).map(lit(_)): _*)))
+    val bitCols = (0 until bits).map { j =>
+      val stride = col("t") * 7919L + lit(j * 104729L) + lit(12345L)
+      val dot = aggregate(
+        zip_with(col("v"),
+          transform(sequence(lit(0), size(col("v")) - 1),
+            d => (((d + 1).cast("long") * stride) % 1000003L % 17L - 8L)
+              .cast("double")),
+          (x, hp) => x * hp),
+        lit(0.0), (a, x) => a + x)
+      when(dot > 0, lit("1")).otherwise(lit("0"))
+    }
+    withT.select(col("vec_id"), col("t"), concat(bitCols: _*).as("bkt"))
+  }
+
+  /** Hamming<=2 multiprobe expansion of query buckets: the no-flip bucket,
+    * every single-bit flip, and every two-bit flip. Bounded: 1 + bits +
+    * bits*(bits-1)/2 probes per (query, table). */
+  def multiprobe(bq: DataFrame, bits: Int): DataFrame = {
+    def flip(b: Column, f: Column): Column =
+      when(f === 0, b).otherwise(concat(
+        b.substr(lit(1), f - 1),
+        when(b.substr(f, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+        b.substr(f + 1, lit(bits))))
+    // (0,0) = no flip; (0,k>0) = flip bit k; (0<j<k) = flip bits j and k
+    bq.withColumn("f1", explode(sequence(lit(0), lit(bits))))
+      .withColumn("f2", explode(sequence(lit(0), lit(bits))))
+      .filter((col("f1") === 0 && col("f2") === 0) ||
+        (col("f1") === 0 && col("f2") > 0) ||
+        (col("f1") > 0 && col("f2") > col("f1")))
+      .select(col("q_id"), col("t"),
+        flip(flip(col("bkt"), col("f1")), col("f2")).as("bkt"))
+      .distinct()
+  }
+
+  /** Candidate (q_id, vec_id) pairs sharing a bucket in >=1 table, for a
+    * query-side predicate. */
+  def lshCandidates(e: DataFrame, queryPred: Column, tables: Int,
+      bits: Int): DataFrame = {
+    val b = buckets(e, tables, bits)
+    val bq = multiprobe(
+      b.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("t"), col("bkt")),
+      bits)
+    b.join(bq, Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+  }
+
+  /** Exact cosine top-k for a query sample (broadcast queries). Kept as
+    * the exact baseline / recall oracle of [[lshTopK]]. */
   def bruteTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = withNorm(emb(s, dir))
     val q = e.filter(col("vec_id") % 50 === 0)
@@ -42,32 +116,18 @@ object Ann {
       .filter(col("rk") <= k)
   }
 
-  /** LSH bucket id: sign bits of dot(v, h_j) for 6 integer hyperplanes
-    * h_j(d) = ((j*131 + d*31) % 17) - 8. */
-  private def bucket(v: Column): Column = {
-    val bits = (0 until 6).map { j =>
-      val dotj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), size(v) - 1),
-            d => ((lit(j * 131) + d * 31) % 17 - 8).cast("double")),
-          (x, h) => x * h),
-        lit(0.0), (a, x) => a + x)
-      when(dotj > 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bits: _*)
-  }
-
-  /** Bucketed approximate top-k: candidates share the LSH bucket, ranked
-    * by exact cosine within the bucket. */
+  /** Approximate top-k: multi-table LSH candidates ranked by exact cosine. */
   def lshTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = withNorm(emb(s, dir)).withColumn("bkt", bucket(col("v")))
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("bkt"))
+    val e = withNorm(emb(s, dir))
+    val bits = bitsFor(e.count())
+    val cands = lshCandidates(e, col("vec_id") % 50 === 0, TABLES, bits)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("norm").as("qn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    e.join(q, Seq("bkt"))
-      .filter(col("vec_id") =!= col("q_id"))
+    cands
+      .join(e, Seq("vec_id"))
+      .join(q, Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cos(col("v"), col("qv"), col("norm"), col("qn")), 6)
           .as("cosine"))
@@ -90,13 +150,48 @@ object Ann {
       | i -> e.v[i] * q.qv[i])) / (e.norm * q.qn)""".stripMargin
       .replace("\n", "")
 
-  private val bktSql = (alias: String) =>
-    (0 until 6).map { j =>
-      s"""CASE WHEN list_sum(list_transform(
-         | range(1, CAST(len($alias.v)+1 AS INTEGER)),
-         | i -> $alias.v[i] * ((($j*131 + (i-1)*31) % 17) - 8))) > 0
-         | THEN '1' ELSE '0' END""".stripMargin.replace("\n", "")
-    }.mkString(" || ")
+  /** The multi-table bucket table as SQL (mirrors [[buckets]], band width
+    * from the same adaptive formula). Expects a CTE `n` with
+    * (vec_id, v, norm) in scope; defines CTEs `params` and `b`. */
+  val bktSql =
+    s"""params AS (SELECT GREATEST(4, LEAST(20,
+       |  CAST(round(log2(count(*)/32.0)) AS INTEGER))) AS bits
+       | FROM embeddings),
+       |b AS (
+       | SELECT vec_id, t,
+       |   string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+       |              ORDER BY j) AS bkt
+       | FROM (
+       |  SELECT n.vec_id, ts.t, js.j,
+       |   list_sum(list_transform(range(1, CAST(len(n.v)+1 AS INTEGER)),
+       |    i -> n.v[i] *
+       |      (((i * (ts.t*7919 + js.j*104729 + 12345)) % 1000003) % 17 - 8)))
+       |    AS dot
+       |  FROM n, (SELECT unnest(range(0, $TABLES)) AS t) ts,
+       |       (SELECT unnest(range(0, (SELECT bits FROM params))) AS j) js)
+       | GROUP BY vec_id, t)""".stripMargin
+
+  /** Hamming<=2 multiprobe of the `bq` CTE (q_id, t, bkt), mirroring
+    * [[multiprobe]]; defines CTEs `fl` and `probes`. */
+  val probeSql =
+    """fl AS (
+      | SELECT q_id, t, f2,
+      |  CASE WHEN f1 = 0 THEN bkt
+      |       ELSE substr(bkt, 1, f1-1) ||
+      |            (CASE WHEN substr(bkt, f1, 1) = '1' THEN '0' ELSE '1' END) ||
+      |            substr(bkt, f1+1) END AS bkt
+      | FROM bq,
+      |  (SELECT unnest(range(0, (SELECT bits FROM params)+1)) AS f1) fs1,
+      |  (SELECT unnest(range(0, (SELECT bits FROM params)+1)) AS f2) fs2
+      | WHERE (f1 = 0 AND f2 = 0) OR (f1 = 0 AND f2 > 0)
+      |    OR (f1 > 0 AND f2 > f1)),
+      |probes AS (
+      | SELECT DISTINCT q_id, t,
+      |  CASE WHEN f2 = 0 THEN bkt
+      |       ELSE substr(bkt, 1, f2-1) ||
+      |            (CASE WHEN substr(bkt, f2, 1) = '1' THEN '0' ELSE '1' END) ||
+      |            substr(bkt, f2+1) END AS bkt
+      | FROM fl)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q22_ann_brute" ->
@@ -113,16 +208,21 @@ object Ann {
          |WHERE rk <= 5""".stripMargin,
     "q23_ann_lsh" ->
       s"""WITH n AS ($normSql),
-         |b AS (SELECT vec_id, v, norm, ${bktSql("n")} AS bkt FROM n n)
+         |$bktSql,
+         |bq AS (SELECT vec_id AS q_id, t, bkt FROM b WHERE vec_id % 50 = 0),
+         |$probeSql,
+         |cand AS (
+         | SELECT DISTINCT p.q_id, b.vec_id
+         | FROM b JOIN probes p ON b.t = p.t AND b.bkt = p.bkt
+         | WHERE b.vec_id <> p.q_id)
          |SELECT q_id, vec_id, cosine, rk FROM (
-         | SELECT q.q_id, e.vec_id,
+         | SELECT c.q_id, e.vec_id,
          |  round($cosSql, 6) AS cosine,
-         |  row_number() OVER (PARTITION BY q.q_id
+         |  row_number() OVER (PARTITION BY c.q_id
          |    ORDER BY round($cosSql, 6) DESC, e.vec_id ASC) AS rk
-         | FROM b e JOIN
-         |  (SELECT vec_id AS q_id, v AS qv, norm AS qn, bkt FROM b
-         |   WHERE vec_id % 50 = 0) q
-         |  ON e.bkt = q.bkt
-         | WHERE e.vec_id <> q.q_id)
+         | FROM cand c
+         | JOIN n e ON e.vec_id = c.vec_id
+         | JOIN (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n) q
+         |   ON q.q_id = c.q_id)
          |WHERE rk <= 3""".stripMargin)
 }

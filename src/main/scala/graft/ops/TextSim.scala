@@ -105,19 +105,30 @@ object TextSim {
       .filter(col("jaccard") > 0)
   }
 
-  /** Embedding cosine similarity pairs (brute force over a sample) —
-    * near-duplicate detection on the embeddings table. */
+  /** Embedding cosine near-duplicate pairs via the shared multi-table
+    * hyperplane LSH (graft.ops.Ann): only pairs sharing a bucket in at
+    * least one table are scored — the round-1 `a_id < b_id` join was a
+    * cartesian product, O(n^2) at scale. Approximate BY DESIGN (pairs in
+    * no common bucket are not reported); the DuckDB twin mirrors the same
+    * candidate generation exactly. */
   def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val withNorm = e.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    val a = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"),
-      col("norm").as("na")).filter(col("a_id") % 5 === 0)
-    val b = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val bits = Ann.bitsFor(e.count())
+    val b = Ann.buckets(e, Ann.TABLES, bits)
+    val cands = b.alias("x").join(b.alias("y"),
+        col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id") && col("x.vec_id") % 5 === 0)
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("norm").as("na"))
+    val eb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("norm").as("nb"))
-    a.join(b, col("a_id") < col("b_id"))
+    cands.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(
           aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
@@ -201,19 +212,26 @@ object TextSim {
          |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) > 0"""
         .stripMargin,
     "q20_cosine_pairs" ->
-      """WITH e AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        | round(list_sum(list_transform(range(1, CAST(len(a.v)+1 AS INTEGER)),
-        |   i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 4) AS cosine
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id % 5 = 0
-        |  AND round(list_sum(list_transform(range(1, CAST(len(a.v)+1 AS INTEGER)),
-        |   i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 4) >= 0.15"""
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+         |${graft.ops.Ann.bktSql},
+         |cand AS (
+         | SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         | FROM b x JOIN b y ON x.t = y.t AND x.bkt = y.bkt
+         |   AND x.vec_id < y.vec_id
+         | WHERE x.vec_id % 5 = 0)
+         |SELECT c.a_id, c.b_id,
+         | round(list_sum(list_transform(range(1, CAST(len(a.v)+1 AS INTEGER)),
+         |   i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 4) AS cosine
+         |FROM cand c
+         |JOIN n a ON a.vec_id = c.a_id
+         |JOIN n b ON b.vec_id = c.b_id
+         |WHERE round(list_sum(list_transform(range(1, CAST(len(a.v)+1 AS INTEGER)),
+         |   i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 4) >= 0.15"""
         .stripMargin
   )
 }

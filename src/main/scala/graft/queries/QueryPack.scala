@@ -191,24 +191,15 @@ object QueryPack {
           (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist2"))
   }
 
-  /** Exact kNN (k=3) for a 0.1% query sample against all points; broadcast
-    * the tiny query side, window top-k with deterministic tie-break. The
-    * probe side is repartitioned first: a cross join inherits the scan's
-    * partitioning, and a single parquet split would serialize the fan-out. */
-  def q16Knn(s: SparkSession, dir: String): DataFrame = {
-    val p = pts(s, dir).repartition(s.sparkContext.defaultParallelism * 2)
-    val q = p.filter(col("pid") % 1000 === 0)
-      .select(col("pid").as("q_pid"), col("x").as("qx"), col("y").as("qy"))
-    val w = Window.partitionBy(col("q_pid"))
-      .orderBy(col("dist2").asc, col("pid").asc)
-    p.crossJoin(broadcast(q))
-      .filter(col("pid") =!= col("q_pid"))
-      .select(col("q_pid"), col("pid"),
-        ((col("x") - col("qx")) * (col("x") - col("qx")) +
-          (col("y") - col("qy")) * (col("y") - col("qy"))).as("dist2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-  }
+  /** Exact kNN (k=3) for a 0.1% query sample via the engine's expanding
+    * cell-ring search (graft.engine.Knn) — no crossJoin, no broadcast of
+    * the data side; identical results to the brute-force oracle. */
+  def q16Knn(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Knn.pointKnn(s,
+      pts(s, dir).select(col("pid").as("gid"), col("x"), col("y")),
+      col("gid") % 1000 === 0, 3)
+      .select(col("q_gid").cast("long").as("q_pid"),
+        col("gid").cast("long").as("pid"), col("dist2"), col("rk"))
 
   // ------------------------------------------------------------- registry
 

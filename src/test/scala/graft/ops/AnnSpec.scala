@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Scale-path checks for the similarity operators: the LSH variant must
+  * stay close to the exact baseline (recall) and the rewritten plans must
+  * not fall back to cartesian products. */
+class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("ann")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sfDir(sf: String): Option[String] = {
+    val d = s"/root/testdata/$sf"
+    if (new java.io.File(s"$d/embeddings.parquet").exists) Some(d) else None
+  }
+
+  test("LSH top-k recall@3 >= 0.9 vs exact brute force") {
+    val dir = sfDir("sf0.1").orElse(sfDir("sf0.01"))
+    assume(dir.isDefined, "driver testdata not present")
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keySet(Ann.bruteTopK(spark, dir.get, 3))
+    val lsh = keySet(Ann.lshTopK(spark, dir.get, 3))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@3 = $recall (${brute.size} exact rows)")
+  }
+
+  test("LSH and kNN plans contain no cartesian / nested-loop join") {
+    val dir = sfDir("sf0.01").orElse(sfDir("sf0.1"))
+    assume(dir.isDefined, "driver testdata not present")
+    for (q <- Seq("q20_cosine_pairs", "q23_ann_lsh", "q16_knn", "sp_knn")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir.get)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q has BroadcastNestedLoopJoin")
+    }
+  }
+}
