@@ -21,7 +21,12 @@ final case class SpatialConfig(
       * become alias edges of one keeper and skip all pair work (reference
       * DUPLICATE_REMOVAL_MIN_SIZE, Sweeper.h:397; its tests force 0).
       * Negative disables. */
-    dupMinPoints: Int = 500)
+    dupMinPoints: Int = 500,
+    /** region-of-interest pre-filter (P2, reference setFilterBox,
+      * Sweeper.h:335-337): only geometries whose bbox intersects
+      * (minX, minY, maxX, maxY) enter the join. Pushed down to the scan —
+      * a regional join over planet data reads and pairs only the region. */
+    filterBox: Option[(Int, Int, Int, Int)] = None)
 
 /** Per-sub-pair refinement output (the staging records of the reference's
   * write* calls, Sweeper.cpp:3579-3955, re-expressed as data). */
@@ -1040,7 +1045,16 @@ object SpatialJoin {
       spark.conf.set(fbKey, (1 << 22).toString)
     // the payload table is scanned by several branches (stats, cover
     // explode, fanout target kinds); materialize it once
-    val g0 = geoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // P2 region filter first: everything downstream (dedup, stats, cover)
+    // sees only the region, and on a columnar source the bbox predicate
+    // reaches the scan
+    val inRegion = cfg.filterBox match {
+      case Some((fx0, fy0, fx1, fy1)) =>
+        geoms.filter(col("minX") <= fx1 && col("maxX") >= fx0 &&
+          col("minY") <= fy1 && col("maxY") >= fy0)
+      case None => geoms
+    }
+    val g0 = inRegion.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicate -> reference rewrite (P9); the edge set is collected to the
     // driver and joined into the authored-alias closure. BOUND: duplicate
     // edges are one short row per duplicate GEOMETRY (not per pair); a

@@ -43,6 +43,28 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rels.head.getDouble(1) > 60000 && rels.head.getDouble(1) < 80000)
   }
 
+  test("filter-box restricts the join to the region (P2)") {
+    // two clusters far apart; a box around the first cluster must yield
+    // exactly the relations of that cluster alone
+    val s = spark
+    import s.implicits._
+    def pt(gid: String, lon: Double, lat: Double) = {
+      val (x, y) = (Geo.projX(lon), Geo.projY(lat))
+      SubGeom(gid, 0, 0, 1, 0, Array(x, y), Array(1), x, y, x, y)
+    }
+    val all = spark.createDataset(Seq(
+      pt("a1", 10.0, 50.0), pt("a2", 10.0, 50.0),
+      pt("b1", 100.0, -30.0), pt("b2", 100.0, -30.0)))
+    val refs = spark.emptyDataset[RefEdge]
+    val box = (Geo.projX(5.0), Geo.projY(45.0), Geo.projX(15.0), Geo.projY(55.0))
+    val rels = SpatialJoin.run(spark, all, refs,
+      SpatialConfig(filterBox = Some(box))).collect()
+    val ids = rels.map(r => (r.getString(0), r.getString(2))).toSet
+    assert(ids.forall { case (a, b) => a.startsWith("a") && b.startsWith("a") },
+      rels.mkString(";"))
+    assert(ids.contains(("a1", "a2")) && ids.contains(("a2", "a1")))
+  }
+
   test("snapshot write/read round-trip with lineage metrics") {
     val root = java.nio.file.Files.createTempDirectory("snap").toString
     val df = spark.range(0, 1000, 1, 4).toDF("id")
