@@ -86,6 +86,10 @@ object SpatialBench {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[spatialbench] cores=$cores shuffle=$shuffle n=$n " +
         f"rels=$rels sec=$dt%.2f geoms_per_sec=${n / dt}%.0f")
+      if (SpatialJoin.lastExactChecks != null)
+        println(s"[spatialbench] exactChecks=" +
+          s"${SpatialJoin.lastExactChecks.value} " +
+          s"decidedShortcut=${SpatialJoin.lastDecided.value}")
       Thread.sleep(500)
       stages.forEach(s => println("[stage] " + s))
       spark.stop()

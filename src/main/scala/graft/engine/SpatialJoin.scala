@@ -785,14 +785,24 @@ object SpatialJoin {
     StructField("gidB", StringType, nullable = false),
     StructField("dist", DoubleType, nullable = false)))
 
-  /** One buffered sub-geometry within a cell group. */
+  /** One buffered sub-geometry within a cell group. cellFull* memoize the
+    * "this cell is entirely interior to the polygon" decide-shortcut test
+    * for the lifetime of the group. */
   private final class GeomRef(
       val gid: String, val side: Int, val subId: Int, val nSubs: Int,
       val kind: Int,
       val minX: Int, val minY: Int, val maxX: Int, val maxY: Int,
       val dMin: Long, val dMax: Long, val eMin: Long, val eMax: Long,
       val nlvl: Int,
-      val g: Geo.G)
+      val g: Geo.G) {
+    var cellFullKnown = false
+    var cellFull = false
+  }
+
+  /** Exact-kernel and decide-shortcut counters of the LAST fusedPairs call
+    * (diagnostic; read by SpatialBench after the run). */
+  @volatile var lastExactChecks: org.apache.spark.util.LongAccumulator = _
+  @volatile var lastDecided: org.apache.spark.util.LongAccumulator = _
 
   /** Partial relation state per (gidA, gidB). */
   private final class AggState {
@@ -832,6 +842,10 @@ object SpatialJoin {
       col("ringEnds"), col("minX"), col("minY"), col("maxX"), col("maxY"),
       col("nlvl"))
     val sorted = src.repartition(col("cell")).sortWithinPartitions(col("cell"))
+    val accChecks = spark.sparkContext.longAccumulator("graft.exactChecks")
+    val accDecided = spark.sparkContext.longAccumulator("graft.decided")
+    lastExactChecks = accChecks
+    lastDecided = accDecided
 
     val rdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
       import org.apache.spark.sql.catalyst.InternalRow
@@ -850,7 +864,44 @@ object SpatialJoin {
       var curCell = Long.MinValue
       var curLevel = 0
       var csLD = cs.toDouble
+      // current cell rectangle in int-coord space (for the decide shortcut)
+      var rectX0 = 0.0; var rectY0 = 0.0; var rectX1 = 0.0; var rectY1 = 0.0
       val probe = new PKey(null, null)
+
+      // "cell entirely interior to polygon p": no edge bbox touches the
+      // cell rect (conservative) and one rect corner is strictly inside.
+      // Memoized per (polygon, group) on the GeomRef.
+      def isCellFull(p: GeomRef): Boolean = {
+        if (!p.cellFullKnown) {
+          p.cellFullKnown = true
+          p.cellFull =
+            if (p.kind != 2 || rectX0 < p.g.minX || rectX1 > p.g.maxX ||
+                rectY0 < p.g.minY || rectY1 > p.g.maxY) false
+            else {
+              var partial = false
+              val lo = math.floor(rectX0).toInt
+              val hi = math.ceil(rectX1).toInt
+              p.g.edgeIndex.forRange(lo, hi) { e =>
+                if (!partial) {
+                  val i = p.g.edgeP(e); val j = p.g.edgeQ(e)
+                  val ey0 = math.min(p.g.y(i), p.g.y(j))
+                  val ey1 = math.max(p.g.y(i), p.g.y(j))
+                  val ex0 = math.min(p.g.x(i), p.g.x(j))
+                  val ex1 = math.max(p.g.x(i), p.g.x(j))
+                  if (ex1 >= rectX0 && ex0 <= rectX1 &&
+                      ey1 >= rectY0 && ey0 <= rectY1) partial = true
+                }
+              }
+              !partial && Geo.locate(math.ceil(rectX0).toInt,
+                math.ceil(rectY0).toInt, p.g) == Geo.IN
+            }
+        }
+        p.cellFull
+      }
+
+      def insideRect(q: GeomRef): Boolean =
+        q.minX > rectX0 && q.maxX < rectX1 &&
+          q.minY > rectY0 && q.maxY < rectY1
 
       def stateOf(a: String, b: String): AggState = {
         probe.a = a; probe.b = b
@@ -891,7 +942,30 @@ object SpatialJoin {
             val s = stateOf(a.gid, b.gid)
             if (d < s.dist) s.dist = d
           }
+        } else if (a.kind == 2 && insideRect(b) && isCellFull(a)) {
+          // decide shortcut (reference boxId full-cell accept,
+          // BoxIds.h:261-351 used at Sweeper.cpp:1670-1690): b lies
+          // strictly inside a cell that is entirely interior to polygon a
+          // -> a contains b, no exact kernel
+          accDecided.add(1)
+          val s = stateOf(a.gid, b.gid)
+          s.nA = a.nSubs; s.nB = b.nSubs
+          if (a.subId > s.maxSubA) s.maxSubA = a.subId
+          if (b.subId > s.maxSubB) s.maxSubB = b.subId
+          s.isect = true; s.anyNotTouch = true; s.anyNotCross = true
+          s.covBM |= 1L << b.subId
+          s.contBM |= 1L << b.subId
+        } else if (b.kind == 2 && insideRect(a) && isCellFull(b)) {
+          accDecided.add(1)
+          val s = stateOf(a.gid, b.gid)
+          s.nA = a.nSubs; s.nB = b.nSubs
+          if (a.subId > s.maxSubA) s.maxSubA = a.subId
+          if (b.subId > s.maxSubB) s.maxSubB = b.subId
+          s.isect = true; s.anyNotTouch = true; s.anyNotCross = true
+          s.covAM |= 1L << a.subId
+          s.contAM |= 1L << a.subId
         } else {
+          accChecks.add(1)
           val r = Relate.relate(a.g, b.g)
           if (r.isect) {
             val s = stateOf(a.gid, b.gid)
@@ -973,6 +1047,11 @@ object SpatialJoin {
                 natives.clear(); visitors.clear(); curCell = cell
                 curLevel = (cell >>> CELL_LVL_SHIFT).toInt
                 csLD = (cs << (LEVEL_FACTOR_BITS * curLevel)).toDouble
+                val fieldMask = (1L << CELL_XY_BITS) - 1
+                val ccx = ((cell >>> CELL_XY_BITS) & fieldMask) - CELL_BIAS
+                val ccy = (cell & fieldMask) - CELL_BIAS
+                rectX0 = ccx * csLD - w2; rectX1 = (ccx + 1) * csLD - w2
+                rectY0 = ccy * csLD - w2; rectY1 = (ccy + 1) * csLD - w2
               }
               val ref = makeRef(row)
               var i = 0
