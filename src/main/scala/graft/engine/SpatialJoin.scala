@@ -797,7 +797,13 @@ object SpatialJoin {
       val g: Geo.G) {
     var cellFullKnown = false
     var cellFull = false
+    var obbKnown = false
+    var obb: Geo.G = _
   }
+
+  /** Reference OBB_MIN_SIZE (Sweeper.cpp:65): geometries with fewer points
+    * don't get an oriented-box filter. */
+  final val OBB_MIN_POINTS = 100
 
   /** Exact-kernel and decide-shortcut counters of the LAST fusedPairs call
     * (diagnostic; read by SpatialBench after the run). */
@@ -903,6 +909,15 @@ object SpatialJoin {
         q.minX > rectX0 && q.maxX < rectX1 &&
           q.minY > rectY0 && q.maxY < rectY1
 
+      def obbOf(p: GeomRef): Geo.G = {
+        if (!p.obbKnown) {
+          p.obbKnown = true
+          if (p.kind != 0 && p.g.nPoints >= OBB_MIN_POINTS)
+            p.obb = Geo.orientedBox(p.g, 10.0)
+        }
+        p.obb
+      }
+
       def stateOf(a: String, b: String): AggState = {
         probe.a = a; probe.b = b
         var s = aggMap.get(probe)
@@ -936,6 +951,14 @@ object SpatialJoin {
         if (!distMode &&
             (a.dMin > b.dMax || b.dMin > a.dMax ||
               a.eMin > b.eMax || b.eMin > a.eMax)) return
+        // oriented-bbox filter for big geometries (P6, reference
+        // Sweeper.cpp:1605-1608: only when BOTH sides carry an OBB)
+        if (!distMode && a.g.nPoints >= OBB_MIN_POINTS &&
+            b.g.nPoints >= OBB_MIN_POINTS) {
+          val oa = obbOf(a); val ob = obbOf(b)
+          if (oa != null && ob != null && !Relate.relate(oa, ob).isect)
+            return
+        }
         if (distMode) {
           val d = Dist.geomDist(a.g, b.g)
           if (d <= wd) {

@@ -212,6 +212,71 @@ object Geo {
     }
   }
 
+  /** Min-area oriented bounding box of g's vertices, padded outward by
+    * `pad` int units (absorbs the corner rounding), as a 4-point polygon —
+    * a conservative superset of the geometry. Convex hull via monotone
+    * chain, then the classic min-area-rectangle-over-hull-edges sweep.
+    * Returns null for degenerate hulls. (reference: Sweeper.cpp:307-315,
+    * convexHull(pad(getOrientedEnvelope(...), 10)).) */
+  def orientedBox(g: G, pad: Double): G = {
+    val pts = Array.tabulate(g.nPoints)(i => (g.x(i), g.y(i)))
+      .distinct.sortBy(p => (p._1, p._2))
+    if (pts.length < 3) return null
+    def cr(o: (Int, Int), a: (Int, Int), b: (Int, Int)): Long =
+      (a._1 - o._1).toLong * (b._2 - o._2) -
+        (a._2 - o._2).toLong * (b._1 - o._1)
+    val h = new Array[(Int, Int)](2 * pts.length)
+    var k = 0
+    for (p <- pts) {
+      while (k >= 2 && cr(h(k - 2), h(k - 1), p) <= 0) k -= 1
+      h(k) = p; k += 1
+    }
+    val lower = k + 1
+    for (i <- pts.length - 2 to 0 by -1) {
+      val p = pts(i)
+      while (k >= lower && cr(h(k - 2), h(k - 1), p) <= 0) k -= 1
+      h(k) = p; k += 1
+    }
+    val hull = h.take(k - 1)
+    if (hull.length < 3) return null
+
+    var best = Double.MaxValue
+    var corners: Array[Int] = null
+    var i = 0
+    while (i < hull.length) {
+      val (x0, y0) = hull(i)
+      val (x1, y1) = hull((i + 1) % hull.length)
+      val dx = (x1 - x0).toDouble; val dy = (y1 - y0).toDouble
+      val len = math.hypot(dx, dy)
+      if (len > 0) {
+        val ux = dx / len; val uy = dy / len
+        var uMin = Double.MaxValue; var uMax = -Double.MaxValue
+        var vMin = Double.MaxValue; var vMax = -Double.MaxValue
+        for ((px, py) <- hull) {
+          val u = px * ux + py * uy
+          val v = -px * uy + py * ux
+          if (u < uMin) uMin = u; if (u > uMax) uMax = u
+          if (v < vMin) vMin = v; if (v > vMax) vMax = v
+        }
+        val area = (uMax - uMin) * (vMax - vMin)
+        if (area < best) {
+          best = area
+          val u0 = uMin - pad; val u1 = uMax + pad
+          val v0 = vMin - pad; val v1 = vMax + pad
+          def px(u: Double, v: Double): Int =
+            math.round(u * ux - v * uy).toInt
+          def py(u: Double, v: Double): Int =
+            math.round(u * uy + v * ux).toInt
+          corners = Array(
+            px(u0, v0), py(u0, v0), px(u1, v0), py(u1, v0),
+            px(u1, v1), py(u1, v1), px(u0, v1), py(u0, v1))
+        }
+      }
+      i += 1
+    }
+    if (corners == null) null else G.polygon(Array(corners))
+  }
+
   /** Point-in-polygon result. */
   final val OUT = 0
   final val ON = 1

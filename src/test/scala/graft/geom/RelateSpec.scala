@@ -224,4 +224,22 @@ class RelateSpec extends AnyFunSuite {
     val d = Dist.geomDist(a, b)
     assert(math.abs(d - 111319.5) < 200.0, s"d=$d")
   }
+
+  test("oriented box contains all vertices and is tighter than the bbox") {
+    // a thin diagonal strip: 150 points along y = x with small jitter
+    val n = 150
+    val cs = new Array[Int](2 * n)
+    for (i <- 0 until n) {
+      cs(2 * i) = i * 1000 + (i % 7) * 3
+      cs(2 * i + 1) = i * 1000 + 200 + (i % 5) * 4
+    }
+    val line = Geo.G.line(cs)
+    val obb = Geo.orientedBox(line, 10.0)
+    assert(obb != null && obb.nPoints == 4)
+    for (i <- 0 until n)
+      assert(Geo.locate(line.x(i), line.y(i), obb) != Geo.OUT, s"vertex $i")
+    // min-area box of a diagonal strip is far smaller than the aligned bbox
+    val bboxArea = (line.maxX - line.minX).toDouble * (line.maxY - line.minY)
+    assert(math.abs(obb.area2 / 2.0) < bboxArea / 10.0)
+  }
 }
