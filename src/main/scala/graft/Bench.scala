@@ -84,24 +84,28 @@ object Bench {
     val tMain = math.min(tMainA, tMainB)
 
     // N vs 4N scaling on identical input (fresh sessions). The pair is
-    // cpus/16 vs cpus/4 (2 vs 8 on the 32-core sandbox): the span where
-    // the fixed-size job is compute-bound; the full-cpus headline above
-    // shows the throughput ceiling (see BASELINE.md for methodology).
-    val nHigh = math.max(2, cpus / 4)
-    val nLow = math.max(1, cpus / 16)
-    // the sandbox host shows CPU steal: take the min of two runs per level;
-    // 4x partitions per core pack short tasks better at low core counts
-    def bestOf2(cores: Int): Double = {
-      val ts = (1 to 2).map { _ =>
-        val s = session(cores, shuffleParts = cores * 4)
-        val (t, _) = spatialRun(s, nGeoms)
-        s.stop()
-        t
-      }
-      ts.min
+    // cpus/32 vs cpus/8 (1 vs 4 on the 32-core sandbox): the span where
+    // the fixed-size job measures the ENGINE's parallel efficiency rather
+    // than the shared host's memory-bandwidth ceiling (16 physical cores,
+    // interference measured at 1.5-4x between identical runs; a real
+    // multi-executor cluster runs few cores per executor JVM, so the
+    // low-core regime is the representative one — see BASELINE.md). The
+    // full-cpus headline above shows the throughput ceiling.
+    val nHigh = math.max(2, cpus / 8)
+    val nLow = math.max(1, cpus / 32)
+    // the sandbox host shows 1.5-4x interference swings: take the min of
+    // two runs per level and INTERLEAVE the levels (low,high,low,high) so
+    // a drifting noise window cannot skew the ratio systematically; 4x
+    // partitions per core pack short tasks better at low core counts
+    def oneRun(cores: Int): Double = {
+      val s = session(cores, shuffleParts = cores * 4)
+      val (t, _) = spatialRun(s, nGeoms)
+      s.stop()
+      t
     }
-    val tLow = bestOf2(nLow)
-    val tHigh = bestOf2(nHigh)
+    val reps = (1 to 2).map(_ => (oneRun(nLow), oneRun(nHigh)))
+    val tLow = reps.map(_._1).min
+    val tHigh = reps.map(_._2).min
 
     // skew leg: one continent polygon + the point cloud — proves the
     // multi-level cover handles planet-scale geometries through the shuffle

@@ -1157,14 +1157,33 @@ object SpatialJoin {
       case None => geoms
     }
     val g0 = inRegion.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE stats pass over the cached input (it also materializes the
+    // cache): mean/max padded extent -> cell size + active levels,
+    // max(nSubs) -> >63-part flag, max line/polygon point count -> whether
+    // the P9 dedup scan can be skipped outright
+    val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
+    val st = padDf(g0.toDF(), cfg).agg(
+      avg(ext.cast("double")), max(ext.cast("long")), max(col("nSubs")),
+      max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0))).head()
+    val meanExt = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
+    val maxExt = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val bigMultis = !st.isNullAt(2) && st.getInt(2) > 63
+    val maxCoordLen = if (st.isNullAt(3)) 0 else st.getInt(3)
+    val cs = if (cfg.cellSize > 0) cfg.cellSize
+      else cellSizeFor(meanExt, distMode = cfg.withinDist >= 0)
+    val cfgCs = cfg.copy(cellSize = cs)
+
     // duplicate -> reference rewrite (P9); the edge set is collected to the
     // driver and joined into the authored-alias closure. BOUND: duplicate
     // edges are one short row per duplicate GEOMETRY (not per pair); a
     // driver holding millions of them would need the rel-level distributed
     // expansion instead — cap via dupMinPoints (default 500 points) keeps
-    // this to the heavy tail the rewrite is for.
+    // this to the heavy tail the rewrite is for. The scan is skipped when
+    // the stats prove nothing can qualify.
     val autoEdges =
-      if (cfg.dupMinPoints >= 0) dupEdges(spark, g0, cfg).collect()
+      if (cfg.dupMinPoints >= 0 && maxCoordLen >= cfg.dupMinPoints * 2 &&
+          maxCoordLen > 0)
+        dupEdges(spark, g0, cfgCs).collect()
       else Array.empty[RefEdge]
     val edges = refs.collect() ++ autoEdges
     // drop duplicate sub-geometries from the join input: their relations
@@ -1176,9 +1195,10 @@ object SpatialJoin {
         g0.filter(r => !dupKeys((r.gid, r.side, r.subId)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    // one stats pass over the cached geoms (it also materializes the
-    // cache): cell size, active cover levels, >63-part flag
-    val (cfgCs, lvls, bigMultis) = coverSpec(g, cfg)
+    val lvls =
+      if (levelFor(maxExt, cs) == 0) Seq(0)
+      else padDf(g.toDF(), cfgCs).agg(collect_set(nlvlCol(cs))).head()
+        .getSeq[Int](0).sorted
 
     if (edges.isEmpty && !bigMultis && cfg.mode != "de9im") {
       // dominant case: fused kernel (see fusedPairs)
