@@ -26,7 +26,15 @@ final case class SpatialConfig(
       * Sweeper.h:335-337): only geometries whose bbox intersects
       * (minX, minY, maxX, maxY) enter the join. Pushed down to the scan —
       * a regional join over planet data reads and pairs only the region. */
-    filterBox: Option[(Int, Int, Int, Int)] = None)
+    filterBox: Option[(Int, Int, Int, Int)] = None,
+    /** P7 inner/outer simplification pre-checks (reference useInnerOuter,
+      * Sweeper.h:198 + Sweeper.cpp:1613-1651): polygons additionally carry
+      * a simplified superset ("outer") and subset ("inner") form; a pair
+      * whose outer forms are disjoint is rejected, and a geometry whose
+      * superset form sits inside the other's subset form is accepted as
+      * contained — both without running the exact kernel. Results are
+      * invariant; off by default, as in the reference. */
+    useInnerOuter: Boolean = false)
 
 /** Per-sub-pair refinement output (the staging records of the reference's
   * write* calls, Sweeper.cpp:3579-3955, re-expressed as data). */
@@ -799,11 +807,18 @@ object SpatialJoin {
     var cellFull = false
     var obbKnown = false
     var obb: Geo.G = _
+    var ioKnown = false
+    var ioOuter: Geo.G = _ // superset form (P7), null when unavailable
+    var ioInner: Geo.G = _ // subset form (P7), null when unavailable
   }
 
   /** Reference OBB_MIN_SIZE (Sweeper.cpp:65): geometries with fewer points
     * don't get an oriented-box filter. */
   final val OBB_MIN_POINTS = 100
+
+  /** P7 guard: polygons below this size never win from simplification
+    * (MIN_GAIN would reject them anyway; this skips the attempt). */
+  final val IO_MIN_POINTS = 16
 
   /** Exact-kernel and decide-shortcut counters of the LAST fusedPairs call
     * (diagnostic; read by SpatialBench after the run). */
@@ -840,6 +855,7 @@ object SpatialJoin {
     val distMode = cfg.mode == "distance"
     val wd = cfg.withinDist
     val selfJoin = cfg.selfJoin
+    val useIO = cfg.useInnerOuter
     val w2 = WORLD_W / 2
     val schema = if (distMode) distRowSchema else aggRowSchema
 
@@ -918,6 +934,17 @@ object SpatialJoin {
         p.obb
       }
 
+      // P7: memoized inner/outer simplified forms (polygons only)
+      def ioPrep(p: GeomRef): Unit = {
+        if (!p.ioKnown) {
+          p.ioKnown = true
+          if (p.kind == 2 && p.g.nPoints >= IO_MIN_POINTS) {
+            p.ioOuter = graft.geom.InnerOuter.simplified(p.g, grow = true)
+            p.ioInner = graft.geom.InnerOuter.simplified(p.g, grow = false)
+          }
+        }
+      }
+
       def stateOf(a: String, b: String): AggState = {
         probe.a = a; probe.b = b
         var s = aggMap.get(probe)
@@ -988,6 +1015,40 @@ object SpatialJoin {
           s.covAM |= 1L << a.subId
           s.contAM |= 1L << a.subId
         } else {
+          // P7 inner/outer pre-checks (reference Sweeper.cpp:1613-1651):
+          // superset forms disjoint -> reject; a superset strictly inside
+          // the other's subset form -> contained, no exact kernel
+          if (useIO && (a.kind == 2 || b.kind == 2)) {
+            if (a.kind == 2) ioPrep(a)
+            if (b.kind == 2) ioPrep(b)
+            val aS = if (a.ioOuter != null) a.ioOuter else a.g
+            val bS = if (b.ioOuter != null) b.ioOuter else b.g
+            if (a.ioOuter != null || b.ioOuter != null) {
+              if (!Relate.relate(aS, bS).isect) { accDecided.add(1); return }
+            }
+            if (b.ioInner != null && Relate.relate(aS, b.ioInner).aContInB) {
+              accDecided.add(1)
+              val s = stateOf(a.gid, b.gid)
+              s.nA = a.nSubs; s.nB = b.nSubs
+              if (a.subId > s.maxSubA) s.maxSubA = a.subId
+              if (b.subId > s.maxSubB) s.maxSubB = b.subId
+              s.isect = true; s.anyNotTouch = true; s.anyNotCross = true
+              s.covAM |= 1L << a.subId
+              s.contAM |= 1L << a.subId
+              return
+            }
+            if (a.ioInner != null && Relate.relate(bS, a.ioInner).aContInB) {
+              accDecided.add(1)
+              val s = stateOf(a.gid, b.gid)
+              s.nA = a.nSubs; s.nB = b.nSubs
+              if (a.subId > s.maxSubA) s.maxSubA = a.subId
+              if (b.subId > s.maxSubB) s.maxSubB = b.subId
+              s.isect = true; s.anyNotTouch = true; s.anyNotCross = true
+              s.covBM |= 1L << b.subId
+              s.contBM |= 1L << b.subId
+              return
+            }
+          }
           accChecks.add(1)
           val r = Relate.relate(a.g, b.g)
           if (r.isect) {

@@ -153,6 +153,32 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(click.getLong(2) == 2 && click.getDouble(3) == 3.5)
   }
 
+  test("P7 inner/outer pre-checks leave join results invariant") {
+    // freiburg: big many-vertex admin polygons + points/lines — exercises
+    // the reject (outer x outer) and accept (outer in inner) shortcuts;
+    // results must be IDENTICAL with the filter on (reference proves
+    // output-invariance via its filter-combination matrix, TestMain.cpp:36)
+    val s = spark
+    import s.implicits._
+    def rels(useIO: Boolean): Set[String] = {
+      val lines = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/datasets/freiburg"), "UTF-8")
+        .getLines().toList
+      val ds = spark.createDataset(lines)
+      val (geoms, refs) = Model.parseLines(spark, ds)
+      SpatialJoin.run(spark, geoms, refs,
+        SpatialConfig(dupMinPoints = 0, useInnerOuter = useIO))
+        .collect()
+        .map(r => r.getString(0) + " " + r.getString(1) + " " + r.getString(2))
+        .toSet
+    }
+    val off = rels(useIO = false)
+    val on = rels(useIO = true)
+    assert(off == on,
+      s"onOnly=${(on -- off).take(5)} offOnly=${(off -- on).take(5)}")
+    assert(off.nonEmpty)
+  }
+
   test("sessionize splits on 30-minute gaps") {
     val s = spark
     import s.implicits._
