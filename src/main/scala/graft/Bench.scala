@@ -42,6 +42,62 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** One spatial measurement leg in a FRESH JVM ([[SpatialChild]]): legs
+    * sharing a JVM inherit up to 4x inflated CPU time from the previous
+    * session's heap residue, which poisons both the headline and the
+    * N-vs-4N scaling ratio. Falls back to an in-process run if the fork
+    * fails (e.g. a stripped runtime image). */
+  private def forkedRun(nGeoms: Long, cores: Int, shuffleParts: Int,
+      phase: String = "full"): (Double, Long) = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.SpatialChild")
+    cmd.add(nGeoms.toString); cmd.add(cores.toString)
+    cmd.add(shuffleParts.toString); cmd.add(phase)
+    try {
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      val m = "\\[child\\] sec=([0-9.]+) rels=([0-9]+)".r
+        .findFirstMatchIn(out)
+      m match {
+        case Some(g) if rc == 0 => (g.group(1).toDouble, g.group(2).toLong)
+        case _ =>
+          System.err.println(s"[bench] forked leg failed rc=$rc; " +
+            s"tail: ${out.takeRight(400)}")
+          inProcessRun(nGeoms, cores, shuffleParts, phase)
+      }
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] fork unavailable (${e.getMessage}); " +
+          "falling back to in-process legs")
+        inProcessRun(nGeoms, cores, shuffleParts, phase)
+    }
+  }
+
+  private def inProcessRun(nGeoms: Long, cores: Int, shuffleParts: Int,
+      phase: String): (Double, Long) = {
+    val s = session(cores, shuffleParts)
+    val r =
+      if (phase == "skew") {
+        import s.implicits._
+        val t0 = System.nanoTime()
+        val n = SpatialJoin.run(s, SynthGeo.skewDataset(s, nGeoms),
+          s.emptyDataset[graft.engine.RefEdge], SpatialConfig()).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      } else spatialRun(s, nGeoms)
+    s.stop()
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -72,15 +128,11 @@ object Bench {
 
     spark.stop()
 
-    // headline spatial run at the configured parallelism: best of 2 fresh
-    // sessions — this sandbox shows 1.5-4x wall variance between identical
+    // headline spatial run at the configured parallelism: best of 2 FRESH
+    // JVMs — this sandbox shows 1.5-4x wall variance between identical
     // runs (BASELINE.md), so a single draw under-reports throughput
-    val (tMainA, nRels) = {
-      val s = session(cpus); val r = spatialRun(s, nGeoms); s.stop(); r
-    }
-    val (tMainB, _) = {
-      val s = session(cpus); val r = spatialRun(s, nGeoms); s.stop(); r
-    }
+    val (tMainA, nRels) = forkedRun(nGeoms, cpus, cpus)
+    val (tMainB, _) = forkedRun(nGeoms, cpus, cpus)
     val tMain = math.min(tMainA, tMainB)
 
     // N vs 4N scaling on identical input (fresh sessions). The pair is
@@ -97,12 +149,8 @@ object Bench {
     // two runs per level and INTERLEAVE the levels (low,high,low,high) so
     // a drifting noise window cannot skew the ratio systematically; 4x
     // partitions per core pack short tasks better at low core counts
-    def oneRun(cores: Int): Double = {
-      val s = session(cores, shuffleParts = cores * 4)
-      val (t, _) = spatialRun(s, nGeoms)
-      s.stop()
-      t
-    }
+    def oneRun(cores: Int): Double =
+      forkedRun(nGeoms, cores, shuffleParts = cores * 4)._1
     val reps = (1 to 2).map(_ => (oneRun(nLow), oneRun(nHigh)))
     val tLow = reps.map(_._1).min
     val tHigh = reps.map(_._2).min
@@ -110,14 +158,7 @@ object Bench {
     // skew leg: one continent polygon + the point cloud — proves the
     // multi-level cover handles planet-scale geometries through the shuffle
     // (no broadcast, flat memory); see SynthGeo.skewDataset
-    val sSkew = session(cpus)
-    val tSk0 = System.nanoTime()
-    val skewRels = SpatialJoin.run(sSkew,
-      SynthGeo.skewDataset(sSkew, nGeoms),
-      { import sSkew.implicits._; sSkew.emptyDataset[graft.engine.RefEdge] },
-      SpatialConfig()).count()
-    val tSkew = (System.nanoTime() - tSk0) / 1e9
-    sSkew.stop()
+    val (tSkew, skewRels) = forkedRun(nGeoms, cpus, cpus, phase = "skew")
 
     val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
     val pairsPerSec = nRels / tMain

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.{SpatialConfig, SpatialJoin, SynthGeo}
+
+/** One spatial-join measurement in a FRESH JVM (forked by [[Bench]]).
+  *
+  * Reusing a JVM across measurement legs contaminates them: a leg that
+  * runs after another in the same process shows up to 4x inflated
+  * executor CPU time for identical work (old-gen residue from the
+  * previous session's Tungsten pages keeps GC barriers hot), which made
+  * same-JVM scaling legs measure the JVM's history instead of the
+  * engine. Forking restores t1/t4 to the per-stage CPU ratio.
+  *
+  * Usage: graft.SpatialChild <nGeoms> <cores> <shufflePartitions> <phase>
+  * phase: full | skew. Prints ONE line: [child] sec=<s> rels=<n>
+  */
+object SpatialChild {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toLong
+    val cores = args(1).toInt
+    val shuffle = args(2).toInt
+    val phase = if (args.length > 3) args(3) else "full"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shuffle.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.shuffle.file.buffer", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val refs = spark.emptyDataset[graft.engine.RefEdge]
+    // JIT warmup, identical for every leg so it cancels in ratios
+    SpatialJoin.run(spark, SynthGeo.dataset(spark, 20000), refs,
+      SpatialConfig()).count()
+    val geoms =
+      if (phase == "skew") SynthGeo.skewDataset(spark, n)
+      else SynthGeo.dataset(spark, n)
+    val t0 = System.nanoTime()
+    val rels = SpatialJoin.run(spark, geoms, refs, SpatialConfig()).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"[child] sec=$sec rels=$rels")
+    spark.stop()
+  }
+}

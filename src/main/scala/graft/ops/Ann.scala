@@ -45,41 +45,64 @@ object Ann {
     * sequence uses its own stride ((d+1) * plane-specific multiplier mod a
     * large prime, folded to [-8,8]) — a shared stride would make every
     * plane a cyclic shift of one base sequence and the tables would stop
-    * being independent. */
+    * being independent.
+    *
+    * Implementation note: computed by ONE primitive-loop UDF returning all
+    * `tables` bucket strings per vector. The previous formulation (tables x
+    * bits nested aggregate/zip_with/transform columns) generated a codegen
+    * unit so large that Janino compilation alone took ~25 s of the query's
+    * ~30 s wall — the work itself is milliseconds. */
   def buckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val withT = e.select(col("vec_id"), col("v"))
-      .withColumn("t", explode(array((0 until tables).map(lit(_)): _*)))
-    val bitCols = (0 until bits).map { j =>
-      val stride = col("t") * 7919L + lit(j * 104729L) + lit(12345L)
-      val dot = aggregate(
-        zip_with(col("v"),
-          transform(sequence(lit(0), size(col("v")) - 1),
-            d => (((d + 1).cast("long") * stride) % 1000003L % 17L - 8L)
-              .cast("double")),
-          (x, hp) => x * hp),
-        lit(0.0), (a, x) => a + x)
-      when(dot > 0, lit("1")).otherwise(lit("0"))
+    val bucketsOf = udf { (v: Seq[Double]) =>
+      val d = v.length
+      Array.tabulate(tables) { t =>
+        val sb = new java.lang.StringBuilder(bits)
+        var j = 0
+        while (j < bits) {
+          val stride = t * 7919L + j * 104729L + 12345L
+          var dot = 0.0
+          var i = 0
+          while (i < d) {
+            dot += v(i) * (((i + 1) * stride) % 1000003L % 17L - 8L)
+            i += 1
+          }
+          sb.append(if (dot > 0) '1' else '0')
+          j += 1
+        }
+        sb.toString
+      }
     }
-    withT.select(col("vec_id"), col("t"), concat(bitCols: _*).as("bkt"))
+    e.select(col("vec_id"),
+        posexplode(bucketsOf(col("v"))).as(Seq("t", "bkt")))
+      .select(col("vec_id"), col("t"), col("bkt"))
   }
 
   /** Hamming<=2 multiprobe expansion of query buckets: the no-flip bucket,
     * every single-bit flip, and every two-bit flip. Bounded: 1 + bits +
-    * bits*(bits-1)/2 probes per (query, table). */
+    * bits*(bits-1)/2 probes per (query, table); one UDF emits the whole
+    * probe set per bucket (same codegen-size rationale as [[buckets]]). */
   def multiprobe(bq: DataFrame, bits: Int): DataFrame = {
-    def flip(b: Column, f: Column): Column =
-      when(f === 0, b).otherwise(concat(
-        b.substr(lit(1), f - 1),
-        when(b.substr(f, lit(1)) === "1", lit("0")).otherwise(lit("1")),
-        b.substr(f + 1, lit(bits))))
-    // (0,0) = no flip; (0,k>0) = flip bit k; (0<j<k) = flip bits j and k
-    bq.withColumn("f1", explode(sequence(lit(0), lit(bits))))
-      .withColumn("f2", explode(sequence(lit(0), lit(bits))))
-      .filter((col("f1") === 0 && col("f2") === 0) ||
-        (col("f1") === 0 && col("f2") > 0) ||
-        (col("f1") > 0 && col("f2") > col("f1")))
-      .select(col("q_id"), col("t"),
-        flip(flip(col("bkt"), col("f1")), col("f2")).as("bkt"))
+    val probesOf = udf { (bkt: String) =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        1 + bits + bits * (bits - 1) / 2)
+      out += bkt
+      def flip(s: String, i: Int): String = {
+        val a = s.toCharArray
+        a(i) = if (a(i) == '1') '0' else '1'
+        new String(a)
+      }
+      var i = 0
+      while (i < bits) {
+        val one = flip(bkt, i)
+        out += one
+        var j = i + 1
+        while (j < bits) { out += flip(one, j); j += 1 }
+        i += 1
+      }
+      out.toArray
+    }
+    bq.select(col("q_id"), col("t"),
+        explode(probesOf(col("bkt"))).as("bkt"))
       .distinct()
   }
 
