@@ -5,9 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * processed batch-wise in typed mapPartitions (the Scala analogue of
-  * mapInPandas batches). The actual codecs are STUBBED deterministically —
-  * image/audio libraries don't ship in this container — but the Spark-side
-  * schema, batching, and partition flow are real.
+  * mapInPandas batches).
+  *
+  * The image decode is a REAL pure-JVM header codec: it sniffs the magic
+  * bytes and parses true dimensions from PNG IHDR, JPEG SOFn, GIF logical
+  * screen, and BMP DIB headers (no external libraries, no AWT). Payloads
+  * that are not a recognized image container (e.g. the documents table's
+  * text bytes, used by the q21 oracle) fall back to a deterministic
+  * derivation so the plumbing stays pinned by an exact DuckDB twin.
+  * Full pixel decompression (inflate/DCT) is deliberately out of scope —
+  * features come from the raw byte histogram, which is real and cheap.
   */
 object Multimodal {
 
@@ -15,21 +22,72 @@ object Multimodal {
   final case class ImgFeatures(
       doc_id: Long,
       n_bytes: Int,
-      width: Int, // STUB: derived from payload size, stands in for decode
+      width: Int,
       height: Int,
       format: String,
-      hist: Array[Float]) // STUB: byte-value histogram as fake features
+      hist: Array[Float]) // byte-value histogram features
 
-  /** STUB decode: a real implementation would decode the image here; the
-    * deterministic fake derives dimensions from the payload so tests and
-    * oracles can pin the plumbing. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Parse (width, height, format) from a real image container header, or
+    * None if the payload is not a recognized image. */
+  def decodeHeader(b: Array[Byte]): Option[(Int, Int, String)] = {
+    val n = b.length
+    // PNG: 89 50 4E 47 0D 0A 1A 0A, then len+"IHDR", width/height BE32 at 16
+    if (n >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' &&
+        b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20), "png"))
+    // GIF87a / GIF89a: logical screen w/h LE16 at 6/8
+    else if (n >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some((le16(b, 6), le16(b, 8), "gif"))
+    // BMP: "BM", DIB header size at 14; BITMAPCOREHEADER uses LE16 dims,
+    // later headers signed LE32 (height may be negative = top-down)
+    else if (n >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dib = le32(b, 14)
+      if (dib == 12) Some((le16(b, 18), le16(b, 20), "bmp"))
+      else if (n >= 14 + dib && dib >= 40)
+        Some((le32(b, 18), math.abs(le32(b, 22)), "bmp"))
+      else None
+    }
+    // JPEG: FF D8, walk marker segments to the first SOFn frame header
+    else if (n >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 9 < n && u8(b, i) == 0xff) {
+        val m = u8(b, i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // bare
+        else {
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return None
+          // SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC): height BE16 at +5, width +7
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return Some((be16(b, i + 7), be16(b, i + 5), "jpeg"))
+          i += 2 + segLen
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Deterministic fallback for non-image payloads (pins the oracle). */
+  def decodeFallback(payload: Array[Byte]): (Int, Int, String) = {
     val n = payload.length
     (16 + n % 240, 16 + (n * 7) % 180,
       if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp")
   }
 
-  def featureStub(payload: Array[Byte], bins: Int = 8): Array[Float] = {
+  /** Full decode: real header parse first, deterministic fallback second. */
+  def decode(payload: Array[Byte]): (Int, Int, String) =
+    decodeHeader(payload).getOrElse(decodeFallback(payload))
+
+  /** Normalized byte-value histogram over the raw payload. */
+  def byteHistogram(payload: Array[Byte], bins: Int = 8): Array[Float] = {
     val h = new Array[Float](bins)
     var i = 0
     while (i < payload.length) {
@@ -49,9 +107,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val (w, h, f) = decodeStub(m.payload)
+        val (w, h, f) = decode(m.payload)
         ImgFeatures(m.doc_id, m.payload.length, w, h, f,
-          featureStub(m.payload))
+          byteHistogram(m.payload))
       }
     }
   }

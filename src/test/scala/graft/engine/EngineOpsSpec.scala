@@ -115,7 +115,7 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(texts.values.toSet == lines.toSet)
   }
 
-  test("multimodal stub plumbing: schema, batching, deterministic decode") {
+  test("multimodal plumbing: schema, batching, fallback decode") {
     val s = spark
     import s.implicits._
     val media = s.createDataset(Seq(
@@ -129,6 +129,51 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frames = graft.ops.Multimodal
       .frameSample(spark, media, frameBytes = 100, every = 2).collect()
     assert(frames.nonEmpty)
+  }
+
+  test("multimodal real header codec: PNG/GIF/BMP/JPEG dimensions") {
+    import graft.ops.Multimodal.{decodeHeader, decode}
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    // PNG: signature + IHDR chunk (length 13, type IHDR, w, h, rest zeros)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array.fill[Byte](9)(0)
+    assert(decodeHeader(png).contains((640, 480, "png")))
+
+    // GIF89a: logical screen 320x200 LE16
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++
+      Array.fill[Byte](3)(0)
+    assert(decodeHeader(gif).contains((320, 200, "gif")))
+
+    // BMP: BITMAPINFOHEADER (dib=40), 800 x -600 (top-down)
+    val bmp = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(40) ++
+      le32(800) ++ le32(-600) ++ Array.fill[Byte](28)(0)
+    assert(decodeHeader(bmp).contains((800, 600, "bmp")))
+
+    // JPEG: SOI, APP0 (len 16), DHT must be skipped, then SOF0 with h=1080 w=1920
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      (Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+        Array.fill[Byte](14)(0)) ++
+      (Array[Byte](0xff.toByte, 0xc4.toByte) ++ be16(5) ++
+        Array.fill[Byte](3)(0)) ++
+      (Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+        Array[Byte](8) ++ be16(1080) ++ be16(1920) ++
+        Array.fill[Byte](10)(0))
+    assert(decodeHeader(jpeg).contains((1920, 1080, "jpeg")))
+
+    // non-image bytes fall back deterministically (q21 oracle contract)
+    val txt = "just some document text".getBytes
+    assert(decodeHeader(txt).isEmpty)
+    assert(decode(txt) ==
+      (16 + txt.length % 240, 16 + (txt.length * 7) % 180,
+        if (txt.length % 3 == 0) "png"
+        else if (txt.length % 3 == 1) "jpeg" else "webp"))
   }
 
   test("structured streaming: watermarked tumbling window matches batch") {
