@@ -36,7 +36,7 @@ object SpatialQueries {
   private def pts(s: SparkSession, dir: String): DataFrame = {
     val px = udf((lon: Double) => Geo.projX(lon))
     val py = udf((lat: Double) => Geo.projY(lat))
-    s.read.parquet(s"$dir/orders.parquet").select(
+    graft.Tables.parquet(s, s"$dir/orders.parquet").select(
       col("o_orderkey").as("gid"),
       (((col("o_orderkey") * 7919) % 360000) / 1000.0 - 180.0).as("lon"),
       (((col("o_orderkey") * 104729) % 160000) / 1000.0 - 80.0).as("lat"))

@@ -23,7 +23,7 @@ object Ann {
   final val TABLES = 4
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Tables.parquet(s, s"$dir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 

@@ -131,7 +131,7 @@ object Multimodal {
     * stub-decode outputs have an exact DuckDB twin. */
   def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = s.read.parquet(s"$dir/documents.parquet")
+    val media = graft.Tables.parquet(s, s"$dir/documents.parquet")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
     imageFeatures(s, media)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object TextSim {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.parquet(s, s"$dir/documents.parquet")
 
   /** word 3-gram shingles per doc. */
   private def shingles(d: DataFrame): DataFrame = {
@@ -27,23 +27,31 @@ object TextSim {
         .as("sh"))
   }
 
-  /** MinHash signatures: k salted-md5 minima per doc. */
-  def minhashSigs(s: SparkSession, dir: String, k: Int = 12): DataFrame =
+  /** MinHash signatures: k salted-md5 minima per doc, computed as k
+    * aggregate columns in ONE map-side-combined groupBy — the shuffle
+    * carries one partial row per (doc, partition) instead of k exploded
+    * copies of every shingle (12x less shuffle at any scale). */
+  def minhashSigs(s: SparkSession, dir: String, k: Int = 12): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(i.toLong), lit(":"), col("sh")))).as(s"sig$i"))
     shingles(docs(s, dir))
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(k - 1))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i"), lit(":"), col("sh")))).as("sig"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH banding: band value = md5 of the band's r sigs in i-order. */
+  /** LSH banding: band value = md5 of the band's r sigs in i-order.
+    * Derived column-wise from the wide signature row (no second shuffle). */
   def minhashBands(s: SparkSession, dir: String, k: Int = 12, r: Int = 3)
-      : DataFrame =
+      : DataFrame = {
+    val bandStructs = (0 until k / r).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",",
+          (0 until r).map(j => col(s"sig${b * r + j}")): _*)).as("bv"))
+    }
     minhashSigs(s, dir, k)
-      .withColumn("band", (col("i") / r).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
-          x => x.getField("sig")))).as("bv"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+  }
 
   /** Candidate pairs from shared LSH buckets, verified with exact word
     * 3-gram jaccard; emits pairs with jaccard >= 0.5. */
@@ -54,6 +62,8 @@ object TextSim {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // cands/counts are near-dup-sized (small at runtime, but data-derived:
+    // no broadcast hints — AQE picks broadcast when a side is actually small)
     val sh = shingles(docs(s, dir)).distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cands
@@ -112,7 +122,7 @@ object TextSim {
     * no common bucket are not reported); the DuckDB twin mirrors the same
     * candidate generation exactly. */
   def cosinePairs(s: SparkSession, dir: String): DataFrame = {
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val e = graft.Tables.parquet(s, s"$dir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm",

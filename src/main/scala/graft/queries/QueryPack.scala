@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object QueryPack {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Tables.parquet(s, s"$dir/$name.parquet")
 
   /** Exact decimal sum of a double column, emitted as double. All rounding
     * happens in the decimal domain (HALF_UP == DuckDB's half-away-from-zero
