@@ -109,16 +109,29 @@ object Bench {
     // broken queries must be VISIBLE: record the exception per query instead
     // of benching a failure as a healthy ~0 s timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+    // two sweeps, min per query: this host shows 1.5-4x wall variance
+    // between identical runs (BASELINE.md), so a single draw routinely
+    // reports a multi-second GC/steal fluke as a query cost; the min of two
+    // is the same best-of-N statistic the spatial legs use
+    def sweep(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-20s $secs%8.2f s" +
+          (if (errors.contains(name)) "  FAILED" else ""))
+        // the engine persists its geometry/flag tables per run; drop them so
+        // 58 query runs in one session do not accumulate cached blocks
+        spark.catalog.clearCache()
+        name -> secs
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-20s $secs%8.2f s" +
-        (if (errors.contains(name)) "  FAILED" else ""))
-      name -> secs
+    val first = sweep()
+    val second = sweep().toMap
+    val results = first.map { case (name, s1) =>
+      name -> math.min(s1, second.getOrElse(name, s1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -151,7 +164,7 @@ object Bench {
     // partitions per core pack short tasks better at low core counts
     def oneRun(cores: Int): Double =
       forkedRun(nGeoms, cores, shuffleParts = cores * 4)._1
-    val reps = (1 to 2).map(_ => (oneRun(nLow), oneRun(nHigh)))
+    val reps = (1 to 3).map(_ => (oneRun(nLow), oneRun(nHigh)))
     val tLow = reps.map(_._1).min
     val tHigh = reps.map(_._2).min
 

@@ -10,6 +10,24 @@ object QProbe {
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("QPROBE_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = sc.stageInfo
+            val wall = (i.completionTime.getOrElse(0L) -
+              i.submissionTime.getOrElse(0L)) / 1e3
+            val cpu = i.taskMetrics.executorCpuTime / 1e9
+            val run = i.taskMetrics.executorRunTime / 1e3
+            val gc = i.taskMetrics.jvmGCTime / 1e3
+            if (wall > 0.3) println(
+              f"[stage] ${i.stageId}%3d tasks=${i.numTasks}%4d " +
+                f"wall=$wall%7.2f run=$run%8.1f cpu=$cpu%8.1f gc=$gc%6.1f " +
+                f"  ${i.name.takeWhile(_ != '\n').take(60)}")
+          }
+        })
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     for (q <- args.drop(1)) {
       val t0 = System.nanoTime()

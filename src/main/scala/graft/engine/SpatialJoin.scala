@@ -1221,18 +1221,25 @@ object SpatialJoin {
     // ONE stats pass over the cached input (it also materializes the
     // cache): mean/max padded extent -> cell size + active levels,
     // max(nSubs) -> >63-part flag, max line/polygon point count -> whether
-    // the P9 dedup scan can be skipped outright
+    // the P9 dedup scan can be skipped outright, max(side) -> side
+    // discipline auto-detection
     val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
     val st = padDf(g0.toDF(), cfg).agg(
       avg(ext.cast("double")), max(ext.cast("long")), max(col("nSubs")),
-      max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0))).head()
+      max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0)),
+      max(col("side"))).head()
     val meanExt = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
     val maxExt = if (st.isNullAt(1)) 0L else st.getLong(1)
     val bigMultis = !st.isNullAt(2) && st.getInt(2) > 63
     val maxCoordLen = if (st.isNullAt(3)) 0 else st.getInt(3)
+    // "if sides are defined, only geometries from different sides are
+    // compared" (reference README.md:118): sides in the input activate the
+    // non-self discipline regardless of the configured default
+    val hasSides = !st.isNullAt(4) && st.getInt(4) > 0
     val cs = if (cfg.cellSize > 0) cfg.cellSize
       else cellSizeFor(meanExt, distMode = cfg.withinDist >= 0)
-    val cfgCs = cfg.copy(cellSize = cs)
+    val cfgCs = cfg.copy(cellSize = cs,
+      selfJoin = cfg.selfJoin && !hasSides)
 
     // duplicate -> reference rewrite (P9); the edge set is collected to the
     // driver and joined into the authored-alias closure. BOUND: duplicate

@@ -159,6 +159,38 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("example_nonself.txt: side discipline == self-join restricted to " +
+      "cross-side pairs (reference README semantics)") {
+    // the reference defines non-self joins as "only geometries from
+    // different sides are compared" (README.md:118) and emits rows with the
+    // side-0 geometry on the left only (its own brandenburg_nonself
+    // assertions: "Grenzpart(0) intersects Brandenburg(1)" expected, the
+    // reverse orientation asserted ABSENT). No expected output for this
+    // README fixture is published, so the oracle is the engine's own
+    // (fixture-verified) self-join of the identical geometries, filtered to
+    // cross-side (side0, side1) pairs
+    val lines = resource("/datasets/example_nonself.txt")
+    val side = lines.map { l =>
+      val p = l.split("\t"); p(0) -> p(1).toInt
+    }.toMap
+    val nonself = relations("example_nonself.txt", "pred")
+    assert(nonself.nonEmpty)
+    val selfLines = lines.map { l =>
+      val p = l.split("\t"); s"${p(0)}\t${p.drop(2).mkString("\t")}"
+    }
+    val ds = spark.createDataset(selfLines)(
+      org.apache.spark.sql.Encoders.STRING)
+    val (geoms, refs) = Model.parseLines(spark, ds)
+    val all = SpatialJoin.run(spark, geoms, refs,
+      SpatialConfig(dupMinPoints = 0)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expected = all.filter { case (a, _, b) => side(a) == 0 && side(b) == 1 }
+      .map { case (a, p, b) => s"$a $p $b" }
+    assert(nonself == expected,
+      s"missing=${(expected -- nonself).take(10)} " +
+        s"spurious=${(nonself -- expected).take(10)}")
+  }
+
   test("example.txt smoke (README pairs)") {
     val rels = relations("example_id.txt", "pred")
     assert(rels.contains("polygon1 contains point9"))
