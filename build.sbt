@@ -33,4 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sorter pages get copied on every young GC; off-heap Tungsten memory
   // (spark.memory.offHeap) was 1.5-3x slower end-to-end here.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-) ++ sys.env.get("GRAFT_GCLOG").map(p => s"-Xlog:gc:$p").toSeq
+) ++ sys.env.get("GRAFT_GCLOG").map(p => s"-Xlog:gc:$p").toSeq ++
+  sys.env.get("GRAFT_JVMFLAGS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

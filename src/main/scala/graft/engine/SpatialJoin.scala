@@ -1077,8 +1077,30 @@ object SpatialJoin {
         }
       }
 
+      // big geometries span many cells of the partition: rebuilding the
+      // Geo.G (array copies + edge index sort) per cover row is the other
+      // allocation hot spot — cache built G's for geometries worth it
+      val gCache = new java.util.HashMap[GKey, Geo.G](1024)
+      val gProbe = new GKey(null, 0L)
       def makeRef(row: InternalRow): GeomRef = {
-        val coords = row.getArray(6).toIntArray()
+        val gidU = row.getUTF8String(1)
+        val side = row.getInt(2); val subId = row.getInt(3)
+        var g: Geo.G = null
+        val nCoordInts = row.getArray(6).numElements()
+        val cacheable = nCoordInts >= 64
+        if (cacheable) {
+          gProbe.gid = gidU; gProbe.sk = side.toLong << 32 | subId.toLong
+          g = gCache.get(gProbe)
+        }
+        if (g == null) {
+          g = new Geo.G(row.getInt(5), row.getArray(6).toIntArray(),
+            row.getArray(7).toIntArray())
+          if (cacheable) {
+            if (gCache.size() > 4096) gCache.clear()
+            gCache.put(new GKey(gidU.clone(), gProbe.sk), g)
+          }
+        }
+        val coords = g.coords
         var i = 0
         var dMin = Long.MaxValue; var dMax = Long.MinValue
         var eMin = Long.MaxValue; var eMax = Long.MinValue
@@ -1091,11 +1113,9 @@ object SpatialJoin {
           if (e > eMax) eMax = e
           i += 2
         }
-        new GeomRef(row.getUTF8String(1).toString, row.getInt(2),
-          row.getInt(3), row.getInt(4), row.getInt(5),
+        new GeomRef(gidU.toString, side, subId, row.getInt(4), row.getInt(5),
           row.getInt(8), row.getInt(9), row.getInt(10), row.getInt(11),
-          dMin, dMax, eMin, eMax, row.getInt(12),
-          new Geo.G(row.getInt(5), coords, row.getArray(7).toIntArray()))
+          dMin, dMax, eMin, eMax, row.getInt(12), g)
       }
 
       def writeState(k: PKey, s: AggState): InternalRow = {
@@ -1118,13 +1138,18 @@ object SpatialJoin {
 
       // lazily interleave: consume input cells until the partial map grows
       // past the cap, drain it (downstream merge makes partials correct),
-      // continue — bounded memory at any input size
+      // continue — bounded memory at any input size. The cap is deliberately
+      // small (64k): a bigger map is LIVE data that every young GC
+      // evacuates — measured at 1<<20 the stage spent ~30-50% of its run
+      // time in GC copying ~1.4 GB of surviving map entries, and single-sub
+      // pairs complete within one cell anyway so partial duplication from
+      // early drains is marginal
       new Iterator[InternalRow] {
         private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
         private def pump(): Unit = {
           while ((drain == null || !drain.hasNext) && rows.hasNext) {
             if (drain != null) { drain = null; aggMap.clear() }
-            while (rows.hasNext && aggMap.size() < (1 << 20)) {
+            while (rows.hasNext && aggMap.size() < (1 << 16)) {
               val row = rows.next()
               val cell = row.getLong(0)
               if (cell != curCell) {
