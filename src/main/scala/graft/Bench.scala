@@ -93,6 +93,15 @@ object Bench {
         val n = SpatialJoin.run(s, SynthGeo.skewDataset(s, nGeoms),
           s.emptyDataset[graft.engine.RefEdge], SpatialConfig()).count()
         ((System.nanoTime() - t0) / 1e9, n)
+      } else if (phase == "knn") {
+        import org.apache.spark.sql.functions.col
+        val pts = s.range(nGeoms).select(col("id").as("gid"),
+          (col("id") * 7919 % 2000001 - 1000000).as("x"),
+          (col("id") * 104729 % 2000001 - 1000000).as("y"))
+        val t0 = System.nanoTime()
+        val n = graft.engine.Knn.pointKnn(s, pts, col("gid") % 1000 === 0, 3)
+          .count()
+        ((System.nanoTime() - t0) / 1e9, n)
       } else spatialRun(s, nGeoms)
     s.stop()
     r
@@ -172,6 +181,8 @@ object Bench {
     // multi-level cover handles planet-scale geometries through the shuffle
     // (no broadcast, flat memory); see SynthGeo.skewDataset
     val (tSkew, skewRels) = forkedRun(nGeoms, cpus, cpus, phase = "skew")
+    // kNN leg: expanding cell-ring search over nGeoms points, 0.1% queries
+    val (tKnn, knnRows) = forkedRun(nGeoms, cpus, cpus, phase = "knn")
 
     val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
     val pairsPerSec = nRels / tMain
@@ -182,7 +193,8 @@ object Bench {
         s""""cores_main":$cpus,""" +
         s""""cores_low":$nLow,"cores_high":$nHigh,"sec_low":$tLow,""" +
         s""""sec_high":$tHigh,"scaling_efficiency":$eff,""" +
-        s""""skew_sec":$tSkew,"skew_relations":$skewRels}"""
+        s""""skew_sec":$tSkew,"skew_relations":$skewRels,""" +
+        s""""knn_sec":$tKnn,"knn_rows":$knnRows}"""
 
     println(s"""{"metric":"total","value":${total + tMain},"unit":"sec",""" +
       s""""queries":$qs,"errors":$errJson,"spatial":$spatial,"sf":"$sfDir"}""")

@@ -13,7 +13,7 @@ import graft.engine.{SpatialConfig, SpatialJoin, SynthGeo}
   * engine. Forking restores t1/t4 to the per-stage CPU ratio.
   *
   * Usage: graft.SpatialChild <nGeoms> <cores> <shufflePartitions> <phase>
-  * phase: full | skew. Prints ONE line: [child] sec=<s> rels=<n>
+  * phase: full | skew | knn. Prints ONE line: [child] sec=<s> rels=<n>
   */
 object SpatialChild {
   def main(args: Array[String]): Unit = {
@@ -32,16 +32,32 @@ object SpatialChild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val refs = spark.emptyDataset[graft.engine.RefEdge]
-    // JIT warmup, identical for every leg so it cancels in ratios
-    SpatialJoin.run(spark, SynthGeo.dataset(spark, 20000), refs,
-      SpatialConfig()).count()
-    val geoms =
-      if (phase == "skew") SynthGeo.skewDataset(spark, n)
-      else SynthGeo.dataset(spark, n)
-    val t0 = System.nanoTime()
-    val rels = SpatialJoin.run(spark, geoms, refs, SpatialConfig()).count()
-    val sec = (System.nanoTime() - t0) / 1e9
+    val (sec, rels) =
+      if (phase == "knn") {
+        // 1M-point kNN leg: expanding cell-ring search, 0.1% query sample
+        val mkPts = (m: Long) => spark.range(m).select(
+          col("id").as("gid"),
+          (col("id") * 7919 % 2000001 - 1000000).as("x"),
+          (col("id") * 104729 % 2000001 - 1000000).as("y"))
+        graft.engine.Knn.pointKnn(spark, mkPts(20000),
+          col("gid") % 100 === 0, 3).count() // warmup
+        val t0 = System.nanoTime()
+        val c = graft.engine.Knn.pointKnn(spark, mkPts(n),
+          col("gid") % 1000 === 0, 3).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      } else {
+        // JIT warmup, identical for every leg so it cancels in ratios
+        SpatialJoin.run(spark, SynthGeo.dataset(spark, 20000), refs,
+          SpatialConfig()).count()
+        val geoms =
+          if (phase == "skew") SynthGeo.skewDataset(spark, n)
+          else SynthGeo.dataset(spark, n)
+        val t0 = System.nanoTime()
+        val c = SpatialJoin.run(spark, geoms, refs, SpatialConfig()).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
     println(s"[child] sec=$sec rels=$rels")
     spark.stop()
   }

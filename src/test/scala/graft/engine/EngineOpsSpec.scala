@@ -198,6 +198,41 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(click.getLong(2) == 2 && click.getDouble(3) == 3.5)
   }
 
+  test("streaming tile counts: watermarked stream matches batch tile grid") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val sdf = mem.toDF().toDF("ts", "x", "y")
+    val tile = 100000000L
+    val q = graft.streaming.StreamOps.tileCounts(sdf, tile)
+      .writeStream.format("memory").queryName("tc")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (t("2024-01-01 10:05:00"), 0L, 0L),
+      (t("2024-01-01 10:15:00"), 1000L, 1000L), // same tile as (0,0)
+      (t("2024-01-01 10:25:00"), 150000000L, 0L), // next tile east
+      (t("2024-01-01 11:05:00"), 0L, 0L)) // next window
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tc").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    q.stop()
+    // batch twin over the identical rows, same plan
+    val batch = graft.streaming.StreamOps
+      .tileCounts(events.toDF("ts", "x", "y"), tile).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+    // and the tile key matches the engine's batch tile arithmetic
+    val t00 = math.floor(graft.geom.Geo.WORLD_W / 2 / tile).toLong
+    assert(streamed.exists { case (_, tx, ty, n) =>
+      tx == t00 && ty == t00 && n == 2 })
+  }
+
   test("P7 inner/outer pre-checks leave join results invariant") {
     // freiburg: big many-vertex admin polygons + points/lines — exercises
     // the reject (outer x outer) and accept (outer in inner) shortcuts;
