@@ -797,7 +797,8 @@ object SpatialJoin {
     * "this cell is entirely interior to the polygon" decide-shortcut test
     * for the lifetime of the group. */
   private final class GeomRef(
-      val gid: String, val side: Int, val subId: Int, val nSubs: Int,
+      val gid: org.apache.spark.unsafe.types.UTF8String,
+      val side: Int, val subId: Int, val nSubs: Int,
       val kind: Int,
       val minX: Int, val minY: Int, val maxX: Int, val maxY: Int,
       val dMin: Long, val dMax: Long, val eMin: Long, val eMax: Long,
@@ -836,10 +837,12 @@ object SpatialJoin {
     var dist = Double.MaxValue
   }
 
-  private final class PKey(var a: String, var b: String) {
+  private final class PKey(
+      var a: org.apache.spark.unsafe.types.UTF8String,
+      var b: org.apache.spark.unsafe.types.UTF8String) {
     override def hashCode: Int = a.hashCode * 31 + b.hashCode
     override def equals(o: Any): Boolean = {
-      val k = o.asInstanceOf[PKey]; k.a == a && k.b == b
+      val k = o.asInstanceOf[PKey]; k.a.equals(a) && k.b.equals(b)
     }
   }
 
@@ -856,6 +859,12 @@ object SpatialJoin {
     val wd = cfg.withinDist
     val selfJoin = cfg.selfJoin
     val useIO = cfg.useInnerOuter
+    // measurement-only knob (wrong results): skip the exact kernel to
+    // attribute stage cpu between pairing and refinement
+    val dbgSkipRelate =
+      sys.env.get("GRAFT_KERNEL_DEBUG").contains("skiprelate")
+    val dbgSkipState =
+      sys.env.get("GRAFT_KERNEL_DEBUG").contains("skipstate")
     val w2 = WORLD_W / 2
     val schema = if (distMode) distRowSchema else aggRowSchema
 
@@ -945,7 +954,8 @@ object SpatialJoin {
         }
       }
 
-      def stateOf(a: String, b: String): AggState = {
+      def stateOf(a: org.apache.spark.unsafe.types.UTF8String,
+          b: org.apache.spark.unsafe.types.UTF8String): AggState = {
         probe.a = a; probe.b = b
         var s = aggMap.get(probe)
         if (s == null) { s = new AggState; aggMap.put(new PKey(a, b), s) }
@@ -1050,7 +1060,9 @@ object SpatialJoin {
             }
           }
           accChecks.add(1)
+          if (dbgSkipRelate) return
           val r = Relate.relate(a.g, b.g)
+          if (dbgSkipState) return
           if (r.isect) {
             val s = stateOf(a.gid, b.gid)
             s.nA = a.nSubs; s.nB = b.nSubs
@@ -1113,14 +1125,14 @@ object SpatialJoin {
           if (e > eMax) eMax = e
           i += 2
         }
-        new GeomRef(gidU.toString, side, subId, row.getInt(4), row.getInt(5),
+        new GeomRef(gidU.clone(), side, subId, row.getInt(4), row.getInt(5),
           row.getInt(8), row.getInt(9), row.getInt(10), row.getInt(11),
           dMin, dMax, eMin, eMax, row.getInt(12), g)
       }
 
       def writeState(k: PKey, s: AggState): InternalRow = {
-        out.update(0, UTF8String.fromString(k.a))
-        out.update(1, UTF8String.fromString(k.b))
+        out.update(0, k.a)
+        out.update(1, k.b)
         if (distMode) out.setDouble(2, s.dist)
         else {
           out.setInt(2, s.nA); out.setInt(3, s.nB)

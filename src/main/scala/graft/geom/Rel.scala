@@ -51,6 +51,14 @@ object Rel {
     val evY = new ArrayBuffer[Int]()
     val onA = new ArrayBuffer[Long]()      // on-interval starts
     val onB = new ArrayBuffer[Long]()      // on-interval ends
+    // carry-forward classification: a segment with NO boundary events lies
+    // strictly on one side, and if it starts where the previous segment
+    // ended (same ring, no contact there), that side is the previous
+    // segment's side — the expensive locate() ray cast is needed only once
+    // per contact-free run, not once per segment
+    val UNKNOWN = Int.MinValue
+    var lastClass = UNKNOWN
+    var prevQx = Int.MinValue; var prevQy = Int.MinValue
     while (seg < nSeg && !(res.properCross && res.hasOn && res.contact)) {
       val pi = curve.edgeP(seg); val qi = curve.edgeQ(seg)
       val px = curve.x(pi); val py = curve.y(pi)
@@ -135,9 +143,26 @@ object Rel {
       }
 
       if (!segProper && !(dx == 0 && dy == 0)) {
-        classifySegment(res, area, px, py, qx, qy, dx, dy,
-          events, evX, evY, onA, onB, mayTouch)
-      }
+        if (events.isEmpty && onA.isEmpty) {
+          // no boundary contact on this segment: strictly one side
+          val cls =
+            if (!mayTouch) OUT
+            else if (lastClass != UNKNOWN && px == prevQx && py == prevQy)
+              lastClass
+            else locate(px, py, area)
+          cls match {
+            case IN => res.hasIn = true
+            case OUT => res.hasOut = true
+            case _ => res.hasOn = true // defensive; shouldn't happen
+          }
+          lastClass = cls
+        } else {
+          classifySegment(res, area, px, py, qx, qy, dx, dy,
+            events, evX, evY, onA, onB, mayTouch)
+          lastClass = UNKNOWN
+        }
+      } else lastClass = UNKNOWN
+      prevQx = qx; prevQy = qy
       if (earlyOut && res.interiorHit && res.hasOut) return res
       seg += 1
     }
