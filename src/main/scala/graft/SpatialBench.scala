@@ -90,6 +90,12 @@ object SpatialBench {
         println(s"[spatialbench] exactChecks=" +
           s"${SpatialJoin.lastExactChecks.value} " +
           s"decidedShortcut=${SpatialJoin.lastDecided.value}")
+      if (SpatialJoin.lastKindNs != null &&
+          SpatialJoin.lastKindN.exists(_.value > 0))
+        for (k <- 0 until 9 if SpatialJoin.lastKindN(k).value > 0)
+          println(f"[kind] ${k / 3}x${k % 3} n=${SpatialJoin.lastKindN(k).value}%9d " +
+            f"cpu_s=${SpatialJoin.lastKindNs(k).value / 1e9}%8.2f " +
+            f"us_each=${SpatialJoin.lastKindNs(k).value / 1e3 / math.max(1, SpatialJoin.lastKindN(k).value)}%8.2f")
       Thread.sleep(500)
       stages.forEach(s => println("[stage] " + s))
       spark.stop()

@@ -825,6 +825,8 @@ object SpatialJoin {
     * (diagnostic; read by SpatialBench after the run). */
   @volatile var lastExactChecks: org.apache.spark.util.LongAccumulator = _
   @volatile var lastDecided: org.apache.spark.util.LongAccumulator = _
+  @volatile var lastKindNs: Array[org.apache.spark.util.LongAccumulator] = _
+  @volatile var lastKindN: Array[org.apache.spark.util.LongAccumulator] = _
 
   /** Partial relation state per (gidA, gidB). */
   private final class AggState {
@@ -865,6 +867,13 @@ object SpatialJoin {
       sys.env.get("GRAFT_KERNEL_DEBUG").contains("skiprelate")
     val dbgSkipState =
       sys.env.get("GRAFT_KERNEL_DEBUG").contains("skipstate")
+    val dbgTimeKinds =
+      sys.env.get("GRAFT_KERNEL_DEBUG").contains("timekinds")
+    val accKindNs = Array.tabulate(9)(i =>
+      spark.sparkContext.longAccumulator(s"graft.relateNs.k${i / 3}${i % 3}"))
+    val accKindN = Array.tabulate(9)(i =>
+      spark.sparkContext.longAccumulator(s"graft.relateN.k${i / 3}${i % 3}"))
+    lastKindNs = accKindNs; lastKindN = accKindN
     val w2 = WORLD_W / 2
     val schema = if (distMode) distRowSchema else aggRowSchema
 
@@ -1061,7 +1070,15 @@ object SpatialJoin {
           }
           accChecks.add(1)
           if (dbgSkipRelate) return
-          val r = Relate.relate(a.g, b.g)
+          val r =
+            if (dbgTimeKinds) {
+              val t0 = System.nanoTime()
+              val rr = Relate.relate(a.g, b.g)
+              val k = a.kind * 3 + b.kind
+              accKindNs(k).add(System.nanoTime() - t0)
+              accKindN(k).add(1)
+              rr
+            } else Relate.relate(a.g, b.g)
           if (dbgSkipState) return
           if (r.isect) {
             val s = stateOf(a.gid, b.gid)

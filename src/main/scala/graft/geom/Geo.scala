@@ -311,12 +311,25 @@ object Geo {
   * x-interval [lo,hi] scans only edges with minX in [lo - maxSpan, hi].
   */
 final class EdgeIndex(
-    val order: Array[Int],  // edge ids sorted by edge minX
+    val order: Array[Int],  // SHORT edge ids sorted by edge minX
     val minXs: Array[Int],  // sorted minX per order entry
-    val maxSpan: Int) {
+    val maxSpan: Int,       // max span among SHORT edges
+    val longIds: Array[Int],  // long-tail edge ids (scanned per query)
+    val longMin: Array[Int],  // their min coord
+    val longMax: Array[Int]) {
 
-  /** Visit candidate edge ids whose x-range may overlap [lo,hi]. */
+  /** Visit candidate edge ids whose x-range may overlap [lo,hi].
+    *
+    * Two tiers: a few long edges are checked directly (a single long edge
+    * would otherwise inflate the search window of EVERY query by its whole
+    * span); the short majority is answered by binary search with the small
+    * residual span widening. */
   def forRange(lo: Int, hi: Int)(f: Int => Unit): Unit = {
+    var k = 0
+    while (k < longIds.length) {
+      if (longMin(k) <= hi && longMax(k) >= lo) f(longIds(k))
+      k += 1
+    }
     val from = (lo.toLong - maxSpan).max(Int.MinValue).toInt
     // binary search first index with minXs >= from
     var a = 0; var b = minXs.length
@@ -333,34 +346,78 @@ final class EdgeIndex(
 }
 
 object EdgeIndex {
+  private val EMPTY = new Array[Int](0)
+
   def build(g: Geo.G, xAxis: Boolean): EdgeIndex = {
     val n = g.edgeCount
-    // pack (minC - Int.MinValue, edgeId) into one long per edge and sort the
-    // primitive array — index construction runs on every refine-cache miss,
-    // so no boxing (sortBy allocated one Integer per vertex per rebuild)
-    val packed = new Array[Long](n)
-    var maxSpan = 0
+    // pass 1: spans, to pick the long-edge cutoff (4x mean, min 16)
+    var spanSum = 0L
     var e = 0
+    while (e < n) {
+      val i = g.edgeP(e); val j = g.edgeQ(e)
+      val a = if (xAxis) g.x(i) else g.y(i)
+      val b = if (xAxis) g.x(j) else g.y(j)
+      spanSum += math.abs(a.toLong - b)
+      e += 1
+    }
+    val cutoff =
+      if (n == 0) Int.MaxValue
+      else math.max(16L, 4L * spanSum / n).min(Int.MaxValue).toInt
+    // pass 2: count the long tail; only split when it is genuinely a tail
+    var nLong = 0
+    e = 0
+    while (e < n) {
+      val i = g.edgeP(e); val j = g.edgeQ(e)
+      val a = if (xAxis) g.x(i) else g.y(i)
+      val b = if (xAxis) g.x(j) else g.y(j)
+      if (math.abs(a - b) > cutoff) nLong += 1
+      e += 1
+    }
+    val split = nLong > 0 && nLong <= n / 8
+    val effCut = if (split) cutoff else Int.MaxValue
+    val nShort = if (split) n - nLong else n
+    // pack (minC - Int.MinValue, edgeId) into one long per SHORT edge and
+    // sort the primitive array — index construction runs on every
+    // refine-cache miss, so no boxing
+    val packed = new Array[Long](nShort)
+    val lIds = if (split) new Array[Int](nLong) else EMPTY
+    val lMin = if (split) new Array[Int](nLong) else EMPTY
+    val lMax = if (split) new Array[Int](nLong) else EMPTY
+    var maxSpan = 0
+    var s = 0; var l = 0
+    e = 0
     while (e < n) {
       val i = g.edgeP(e); val j = g.edgeQ(e)
       val a = if (xAxis) g.x(i) else g.y(i)
       val b = if (xAxis) g.x(j) else g.y(j)
       val mn = math.min(a, b)
       val span = math.abs(a - b)
-      if (span > maxSpan) maxSpan = span
-      packed(e) = ((mn.toLong - Int.MinValue) << 32) | e.toLong
+      if (span > effCut) {
+        lIds(l) = e; lMin(l) = mn; lMax(l) = math.max(a, b); l += 1
+      } else {
+        if (span > maxSpan) maxSpan = span
+        // signed mn in the high 32 bits, edge id in the low 32: a plain
+        // signed long sort orders by mn ascending. (The round-1 packing
+        // biased mn by -Int.MinValue before the shift, which overflows the
+        // sign bit: arrays mixing negative and non-negative coords sorted
+        // [mn>=0..., mn<0...] and range scans could STOP before the
+        // negative block — wrong results for any geometry straddling
+        // coordinate zero. Caught by the EdgeIndexCheck brute-force probe.)
+        packed(s) = (mn.toLong << 32) | (e.toLong & 0xffffffffL)
+        s += 1
+      }
       e += 1
     }
-    java.util.Arrays.sort(packed)
-    val order = new Array[Int](n)
-    val sortedMin = new Array[Int](n)
+    java.util.Arrays.sort(packed, 0, s)
+    val order = new Array[Int](nShort)
+    val sortedMin = new Array[Int](nShort)
     var k = 0
-    while (k < n) {
+    while (k < nShort) {
       val p = packed(k)
       order(k) = (p & 0xffffffffL).toInt
-      sortedMin(k) = ((p >>> 32) + Int.MinValue).toInt
+      sortedMin(k) = (p >> 32).toInt
       k += 1
     }
-    new EdgeIndex(order, sortedMin, maxSpan)
+    new EdgeIndex(order, sortedMin, maxSpan, lIds, lMin, lMax)
   }
 }
