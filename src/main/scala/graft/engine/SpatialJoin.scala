@@ -869,9 +869,9 @@ object SpatialJoin {
       sys.env.get("GRAFT_KERNEL_DEBUG").contains("skipstate")
     val dbgTimeKinds =
       sys.env.get("GRAFT_KERNEL_DEBUG").contains("timekinds")
-    val accKindNs = Array.tabulate(9)(i =>
+    val accKindNs = if (!dbgTimeKinds) null else Array.tabulate(9)(i =>
       spark.sparkContext.longAccumulator(s"graft.relateNs.k${i / 3}${i % 3}"))
-    val accKindN = Array.tabulate(9)(i =>
+    val accKindN = if (!dbgTimeKinds) null else Array.tabulate(9)(i =>
       spark.sparkContext.longAccumulator(s"graft.relateN.k${i / 3}${i % 3}"))
     lastKindNs = accKindNs; lastKindN = accKindN
     val w2 = WORLD_W / 2

@@ -432,8 +432,9 @@ object Rel {
     }
     res.aCovByB = covA && nA > 0
 
-    // bCovByA via a reduced pass (coverage only)
-    res.bCovByA = coveredBy(b, a)
+    // bCovByA via a reduced pass (coverage only); without any contact at
+    // all, coverage is impossible — skip the second full scan
+    res.bCovByA = res.contact && coveredBy(b, a)
     res
   }
 
