@@ -77,6 +77,8 @@ object SpatialBench {
           SpatialJoin.refine(spark,
             SpatialJoin.candidates(spark, geoms, SpatialConfig()),
             SpatialConfig()).count()
+        case "pre" =>
+          SpatialJoin.fusedPairs(spark, geoms, SpatialConfig()).count()
         case "skew" =>
           SpatialJoin.run(spark, SynthGeo.skewDataset(spark, n), refs,
             SpatialConfig()).count()

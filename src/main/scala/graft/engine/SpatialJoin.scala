@@ -1173,12 +1173,14 @@ object SpatialJoin {
       // time in GC copying ~1.4 GB of surviving map entries, and single-sub
       // pairs complete within one cell anyway so partial duplication from
       // early drains is marginal
+      val drainCap =
+        sys.env.getOrElse("GRAFT_DRAIN_CAP", (1 << 16).toString).toInt
       new Iterator[InternalRow] {
         private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
         private def pump(): Unit = {
           while ((drain == null || !drain.hasNext) && rows.hasNext) {
             if (drain != null) { drain = null; aggMap.clear() }
-            while (rows.hasNext && aggMap.size() < (1 << 16)) {
+            while (rows.hasNext && aggMap.size() < drainCap) {
               val row = rows.next()
               val cell = row.getLong(0)
               if (cell != curCell) {

@@ -373,7 +373,10 @@ object EdgeIndex {
       if (math.abs(a - b) > cutoff) nLong += 1
       e += 1
     }
-    val split = nLong > 0 && nLong <= n / 8
+    // the long tier is scanned LINEARLY on every query: keep it tiny (its
+    // only job is to stop a handful of pathological long edges from
+    // widening every binary-search window), else fall back to one tier
+    val split = nLong > 0 && nLong <= 8 && nLong <= n / 8
     val effCut = if (split) cutoff else Int.MaxValue
     val nShort = if (split) n - nLong else n
     // pack (minC - Int.MinValue, edgeId) into one long per SHORT edge and

@@ -42,26 +42,54 @@ object StreamOps {
         col("n_events"))
   }
 
-  /** Per-user session counts via flatMapGroupsWithState-style semantics,
-    * expressed with the simpler mapGroups on batch and usable with
-    * GroupStateTimeout in streaming jobs. Sessions split on gaps > 30 min. */
+  /** Per-user session counts; sessions split on gaps > 30 min.
+    *
+    * Scale shape: the events are hash-partitioned by user and sorted
+    * WITHIN partitions by (user, ts) — Tungsten's spillable sort — then a
+    * linear constant-memory scan emits one row per user at the key
+    * boundary. The round-1 groupByKey version buffered each user's full
+    * timestamp array on the heap, which a hot key (billions of events)
+    * would OOM; this shape never materializes a per-key collection. */
   def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events
       .select(col("user_id").cast("long"), col("ts").cast("long").as("t"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("t"))
       .as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (user: Long, it: Iterator[(Long, Long)]) =>
-        val ts = it.map(_._2).toArray.sorted
-        var sessions = 0L
-        var last = Long.MinValue
-        var events = 0L
-        ts.foreach { t =>
-          if (last == Long.MinValue || t - last > 1800) sessions += 1
-          last = t
-          events += 1
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long)] {
+          private var curUser = Long.MinValue
+          private var nSessions = 0L
+          private var nEvents = 0L
+          private var last = Long.MinValue
+          private var pending: (Long, Long, Long) = _
+          private var finished = false
+          private def flush(): (Long, Long, Long) =
+            (curUser, nSessions, nEvents)
+          private def advance(): Unit = {
+            while (pending == null && !finished) {
+              if (!it.hasNext) {
+                finished = true
+                if (nEvents > 0) pending = flush()
+              } else {
+                val (u, t) = it.next()
+                if (u != curUser) {
+                  if (nEvents > 0) pending = flush()
+                  curUser = u; nSessions = 0L; nEvents = 0L
+                  last = Long.MinValue
+                }
+                if (last == Long.MinValue || t - last > 1800) nSessions += 1
+                last = t
+                nEvents += 1
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): (Long, Long, Long) = {
+            advance(); val r = pending; pending = null; r
+          }
         }
-        Iterator((user, sessions, events))
       }
       .toDF("user_id", "n_sessions", "n_events")
   }
