@@ -26,12 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // Pre-sized heap + G1 (JDK default). Measured alternatives both lost:
-  // ParallelGC with a growing heap took multi-second promotion-storm young
-  // pauses (one observed 11.6 s pause at 8 cores) because live Tungsten
-  // sorter pages get copied on every young GC; off-heap Tungsten memory
-  // (spark.memory.offHeap) was 1.5-3x slower end-to-end here.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // SMALL pre-sized PRE-TOUCHED heap + G1. This sandbox kernel makes page
+  // faults taken during a GC pause ~100-1000x more expensive than faults
+  // taken single-threaded at startup (GC workers + 32 mutators convoy on
+  // the mmap lock): with a 24g lazily-faulted heap, young evacuation into
+  // never-touched regions produced pauses like User=1.16s Sys=227s
+  // Real=10.3s until all 24 GB had been faulted once (~850-1050 GC core-s
+  // per 1M-geom join stage). An 8g heap pre-touched at JVM init (~2-6 s,
+  // before any measured window) cuts the same stage to <10 GC core-s and
+  // the 32-core 1M-geom join from 54-67 s to ~11 s. Measured alternatives
+  // that lost: ParallelGC (multi-second promotion-storm young pauses),
+  // off-heap Tungsten (1.5-3x slower end-to-end), THP (GC-time 2M faults
+  // pay synchronous defrag — one 29.9 s young pause).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("GRAFT_GCLOG").map(p => s"-Xlog:gc:$p").toSeq ++
   sys.env.get("GRAFT_JVMFLAGS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
