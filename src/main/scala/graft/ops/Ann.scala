@@ -158,9 +158,101 @@ object Ann {
       .filter(col("rk") <= k)
   }
 
+  // ------------------------------------------------------------------ IVF
+  //
+  // The second scale path (builder brief: "an IVF or LSH-bucketed variant"):
+  // a BOUNDED coarse codebook (<= IVF_MAX_CELLS centroids = a deterministic
+  // id-stride sample of the vectors), every vector assigned to its nearest
+  // centroid by cosine (the inverted file — a plain `cell` column, i.e. the
+  // shuffle/partition key at scale), and each query probing only its
+  // IVF_NPROBE nearest cells. The codebook is the only driver-side state
+  // and never exceeds IVF_MAX_CELLS entries regardless of n, so the
+  // broadcast stays O(1) while the candidate join is a cell equi-join —
+  // the same shape that bounds the spatial join at 100 TB.
+
+  final val IVF_MAX_CELLS = 1024
+  /** Probe fraction vs recall: the driver's embeddings are ISOTROPIC
+    * (measured within-label mean cos 0.00037 vs cross-label 0.00040 at
+    * sf0.1 — no cluster structure at all), the adversarial case for any
+    * cell-partitioned ANN. nprobe=8 of ~sqrt(n) cells scans ~11% of the
+    * data for recall@3 ~0.54 (vs 0.11 for random cells — the gain is
+    * neighbors of the centroid-vector concentrating in its cell; Lloyd
+    * refinement measured at most +0.06 and is not plain-SQL-oracle-able).
+    * On clustered real embeddings the same index recalls far higher at
+    * the same probe fraction. */
+  final val IVF_NPROBE = 8
+
+  /** Codebook stride: centroids are vec_id % stride == 0, aiming for
+    * ~sqrt(n) cells clamped to [4, IVF_MAX_CELLS]. Integer arithmetic only
+    * so the DuckDB oracle reproduces it exactly. */
+  def ivfStride(n: Long): Long = {
+    val c = math.max(4L, math.min(IVF_MAX_CELLS.toLong,
+      math.round(math.sqrt(n.toDouble))))
+    math.max(1L, n / c)
+  }
+
+  /** Approximate top-k: nearest-centroid inverted file, nprobe cells per
+    * query, exact cosine rank on the probed candidates. */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = IVF_NPROBE): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val stride = ivfStride(e.count())
+    // bounded codebook (<= IVF_MAX_CELLS rows at any scale)
+    val cents = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    // top-m centroid ids by cosine, ties to the smaller id — the exact
+    // order row_number() OVER (ORDER BY cos DESC, cid ASC) yields, so the
+    // oracle's assignment matches double-for-double (dots are summed in
+    // index order on both sides, like the q23 bucket signs)
+    def rank(v: Seq[Double], norm: Double, m: Int): Array[Long] = {
+      val cs = bc.value
+      val scored = new Array[(Double, Long)](cs.length)
+      var ci = 0
+      while (ci < cs.length) {
+        val (cid, cv, cn) = cs(ci)
+        var dot = 0.0
+        var i = 0
+        while (i < cv.length) { dot += v(i) * cv(i); i += 1 }
+        scored(ci) = (dot / (norm * cn), cid)
+        ci += 1
+      }
+      scored.sortBy { case (cos, cid) => (-cos, cid) }
+        .take(m).map(_._2)
+    }
+    val cellOf = udf { (v: Seq[Double], norm: Double) => rank(v, norm, 1)(0) }
+    val probesOf = udf { (v: Seq[Double], norm: Double) =>
+      rank(v, norm, nprobe) }
+    val assigned = e.withColumn("cell", cellOf(col("v"), col("norm")))
+    val probes = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        explode(probesOf(col("v"), col("norm"))).as("cell"))
+    val cands = probes.join(assigned.select(col("vec_id"), col("cell")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("norm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cands
+      .join(e, Seq("vec_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cos(col("v"), col("qv"), col("norm"), col("qn")), 6)
+          .as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
-    "q23_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)))
+    "q23_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
+    "q24_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   private val normSql =
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -247,5 +339,41 @@ object Ann {
          | JOIN n e ON e.vec_id = c.vec_id
          | JOIN (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n) q
          |   ON q.q_id = c.q_id)
-         |WHERE rk <= 3""".stripMargin)
+         |WHERE rk <= 3""".stripMargin,
+    "q24_ann_ivf" -> {
+      // cosine(row of n aliased x, centroid row aliased c)
+      val centCos =
+        """list_sum(list_transform(range(1, CAST(len(x.v)+1 AS INTEGER)),
+          | i -> x.v[i] * c.cv[i])) / (x.norm * c.cn)""".stripMargin
+          .replace("\n", "")
+      s"""WITH n AS ($normSql),
+         |p AS (SELECT GREATEST(1, count(*) //
+         |  GREATEST(4, LEAST($IVF_MAX_CELLS,
+         |    CAST(round(sqrt(count(*))) AS BIGINT)))) AS stride
+         | FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n
+         |      WHERE vec_id % (SELECT stride FROM p) = 0),
+         |ranked AS (
+         | SELECT x.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY x.vec_id
+         |    ORDER BY $centCos DESC, c.cid ASC) AS crk
+         | FROM n x CROSS JOIN c),
+         |a AS (SELECT vec_id, cid AS cell FROM ranked WHERE crk = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS cell FROM ranked
+         |           WHERE crk <= $IVF_NPROBE AND vec_id % 50 = 0),
+         |cand AS (
+         | SELECT DISTINCT p.q_id, a.vec_id
+         | FROM probes p JOIN a ON a.cell = p.cell
+         | WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, vec_id, cosine, rk FROM (
+         | SELECT cd.q_id, e.vec_id,
+         |  round($cosSql, 6) AS cosine,
+         |  row_number() OVER (PARTITION BY cd.q_id
+         |    ORDER BY round($cosSql, 6) DESC, e.vec_id ASC) AS rk
+         | FROM cand cd
+         | JOIN n e ON e.vec_id = cd.vec_id
+         | JOIN (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n) q
+         |   ON q.q_id = cd.q_id)
+         |WHERE rk <= 3""".stripMargin
+    })
 }

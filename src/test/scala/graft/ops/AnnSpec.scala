@@ -40,10 +40,28 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"recall@3 = $recall (${brute.size} exact rows)")
   }
 
+  test("IVF top-k recall@3 vs exact brute force") {
+    val dir = sfDir("sf0.1").orElse(sfDir("sf0.01"))
+    assume(dir.isDefined, "driver testdata not present")
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keySet(Ann.bruteTopK(spark, dir.get, 3))
+    val ivf = keySet(Ann.ivfTopK(spark, dir.get, 3))
+    // the driver's embeddings are measured-isotropic (see Ann.IVF_NPROBE
+    // doc) — the adversarial case for cell-partitioned ANN, where recall
+    // tracks probe fraction. The floor asserts the inverted file is
+    // WORKING (nprobe/sqrt(n) ~ 0.11 would be the random-cell recall),
+    // not that it beats the multiprobe LSH on structure-free data
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall@3 = $recall (${brute.size} exact rows)")
+  }
+
   test("LSH and kNN plans contain no cartesian / nested-loop join") {
     val dir = sfDir("sf0.01").orElse(sfDir("sf0.1"))
     assume(dir.isDefined, "driver testdata not present")
-    for (q <- Seq("q20_cosine_pairs", "q23_ann_lsh", "q16_knn", "sp_knn")) {
+    for (q <- Seq("q20_cosine_pairs", "q23_ann_lsh", "q24_ann_ivf",
+        "q16_knn", "sp_knn")) {
       val df = graft.SparkEntry.queries(q)(spark, dir.get)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
