@@ -132,17 +132,34 @@ object SpatialJoin {
     coalesce(terms :+ lit(15): _*)
   }
 
+  /** Output schema of [[cellCover]]: the SubGeom columns (bbox PADDED in
+    * distance mode) plus (nlvl, lvl, cell). */
+  val coverSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.Encoders.product[SubGeom].schema
+      .add("nlvl", IntegerType, nullable = false)
+      .add("lvl", IntegerType, nullable = false)
+      .add("cell", LongType, nullable = false)
+  }
+
   /** Multi-level cell cover: each sub-geometry emits its bbox-range cover
     * at its native level and at every coarser ACTIVE level (levels some
     * geometry is native to), with the level packed into the cell key. A
     * pair (a,b) is examined exactly once: in the first common cell at
-    * level max(a.nlvl, b.nlvl). Returns (exploded cover, cell size). */
-  private def cellCover(geoms: Dataset[SubGeom], cfg: SpatialConfig,
+    * level max(a.nlvl, b.nlvl). Returns (exploded cover, cell size).
+    *
+    * One tight generator instead of the previous Catalyst chain (pad
+    * projection + 15-way nlvl coalesce + filter/explode + two sequence
+    * explodes): each generate node materialized every intermediate row —
+    * with the coords payload arrays copied per cover row — and the chain
+    * cost as much CPU as half the exact kernel (9.3 of 18.7 core-s per
+    * 1M-geom join at 4 cores). Here the payload is copied exactly once
+    * per emitted cover row, by the output projection. */
+  /** Catalyst-chain cover (measurement alternate, GRAFT_COVER=sql). */
+  private def cellCoverSql(geoms: Dataset[SubGeom], cfg: SpatialConfig,
       activeLevels: Seq[Int]): (DataFrame, Long) = {
     val padded = padDf(geoms.toDF(), cfg)
-    require(cfg.cellSize > 0, "cellCover needs a resolved cellSize")
     val cs = cfg.cellSize
-
     val lvls = activeLevels.distinct.sorted
     val lvlArr = array(lvls.map(lit(_)): _*)
     val w2 = lit(WORLD_W / 2)
@@ -162,6 +179,105 @@ object SpatialJoin {
         (col("cy") + lit(CELL_BIAS)))
       .drop("cx0", "cx1", "cy0", "cy1", "cx", "cy")
     (exploded, cs)
+  }
+
+  private[engine] def cellCover(geoms: Dataset[SubGeom], cfg: SpatialConfig,
+      activeLevels: Seq[Int]): (DataFrame, Long) = {
+    require(cfg.cellSize > 0, "cellCover needs a resolved cellSize")
+    if (sys.env.get("GRAFT_COVER").contains("sql"))
+      return cellCoverSql(geoms, cfg, activeLevels)
+    val cs = cfg.cellSize
+    val spark = geoms.sparkSession
+    val lvlsArr = activeLevels.distinct.sorted.toArray
+    val wd = cfg.withinDist
+    val schema = coverSchema
+    val w2 = WORLD_W / 2
+
+    val rdd = geoms.toDF().queryExecution.toRdd.mapPartitions { rows =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
+      val proj = UnsafeProjection.create(schema)
+      val out = new SpecificInternalRow(schema)
+      new Iterator[InternalRow] {
+        // enumeration state for the current input row
+        private var active = false
+        private var li = 0 // index into lvlsArr
+        private var nlvl = 0
+        private var pMinX = 0; private var pMinY = 0
+        private var pMaxX = 0; private var pMaxY = 0
+        private var cx = 0L; private var cy = 0L
+        private var cx1 = 0L; private var cy0 = 0L; private var cy1 = 0L
+        private var csL = 0.0
+
+        private def setupLevel(): Unit = {
+          val lvl = lvlsArr(li)
+          csL = (cs << (LEVEL_FACTOR_BITS * lvl)).toDouble
+          cx = math.floor((pMinX + w2) / csL).toLong
+          cx1 = math.floor((pMaxX + w2) / csL).toLong
+          cy0 = math.floor((pMinY + w2) / csL).toLong
+          cy1 = math.floor((pMaxY + w2) / csL).toLong
+          cy = cy0
+          out.setInt(12, lvl)
+        }
+
+        private def loadRow(): Unit = {
+          while (!active && rows.hasNext) {
+            val r = rows.next()
+            var minX = r.getInt(7); var minY = r.getInt(8)
+            var maxX = r.getInt(9); var maxY = r.getInt(10)
+            if (wd >= 0) {
+              // same arithmetic as the padDf UDF (reference
+              // getPaddedBoundingBox, Sweeper.h:350-388)
+              val f = math.max(
+                1.0 / Dist.distFactor(minY / Geo.PREC),
+                1.0 / Dist.distFactor(maxY / Geo.PREC))
+              val pad = math.ceil((wd / 2.0) * f * Geo.PREC).toInt
+              minX -= pad; minY -= pad; maxX += pad; maxY += pad
+            }
+            pMinX = minX; pMinY = minY; pMaxX = maxX; pMaxY = maxY
+            val w = math.max(maxX - minX, maxY - minY).toLong
+            nlvl = levelFor(w, cs)
+            li = 0
+            while (li < lvlsArr.length && lvlsArr(li) < nlvl) li += 1
+            if (li < lvlsArr.length) {
+              // row fields are valid until the next rows.next(); every
+              // emission projects (copies) before that happens
+              out.update(0, r.getUTF8String(0))
+              out.setInt(1, r.getInt(1)); out.setInt(2, r.getInt(2))
+              out.setInt(3, r.getInt(3)); out.setInt(4, r.getInt(4))
+              out.update(5, r.getArray(5)); out.update(6, r.getArray(6))
+              out.setInt(7, minX); out.setInt(8, minY)
+              out.setInt(9, maxX); out.setInt(10, maxY)
+              out.setInt(11, nlvl)
+              setupLevel()
+              active = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { loadRow(); active }
+
+        override def next(): InternalRow = {
+          loadRow()
+          val cell = (lvlsArr(li).toLong << CELL_LVL_SHIFT) +
+            (cx + CELL_BIAS) * (1L << CELL_XY_BITS) + (cy + CELL_BIAS)
+          out.setLong(13, cell)
+          val res = proj(out)
+          // advance: cy, then cx, then the next active level
+          cy += 1
+          if (cy > cy1) {
+            cy = cy0; cx += 1
+            if (cx > cx1) {
+              li += 1
+              if (li < lvlsArr.length) setupLevel()
+              else active = false
+            }
+          }
+          res
+        }
+      }
+    }
+    (org.apache.spark.sql.GraftInternal.internalDf(spark, rdd, schema), cs)
   }
 
   private def sideStruct(alias: String): Column = struct(
@@ -881,7 +997,15 @@ object SpatialJoin {
       col("subId"), col("nSubs"), col("kind"), col("coords"),
       col("ringEnds"), col("minX"), col("minY"), col("maxX"), col("maxY"),
       col("nlvl"))
-    val sorted = src.repartition(col("cell")).sortWithinPartitions(col("cell"))
+    // explicit partition count: with a bare repartition(col) AQE coalesces
+    // the 67 MB cell shuffle to ~6 partitions, which packs badly onto the
+    // executor cores and loses skew headroom — kernel cost per row is far
+    // higher than a byte-count target assumes. AQE's skew SPLIT never
+    // applies to a mapPartitions-consumed exchange anyway (join-only), so
+    // the explicit count gives strictly better balance.
+    val kernelParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = src.repartition(kernelParts, col("cell"))
+      .sortWithinPartitions(col("cell"))
     val accChecks = spark.sparkContext.longAccumulator("graft.exactChecks")
     val accDecided = spark.sparkContext.longAccumulator("graft.decided")
     lastExactChecks = accChecks
@@ -1273,17 +1397,38 @@ object SpatialJoin {
           col("minY") <= fy1 && col("maxY") >= fy0)
       case None => geoms
     }
-    val g0 = inRegion.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an already-cached input (e.g. a bench pre-materialized it outside
+    // the measured window) is reused rather than double-cached
+    val g0 =
+      if (inRegion.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        inRegion
+      else
+        inRegion.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE stats pass over the cached input (it also materializes the
     // cache): mean/max padded extent -> cell size + active levels,
     // max(nSubs) -> >63-part flag, max line/polygon point count -> whether
     // the P9 dedup scan can be skipped outright, max(side) -> side
-    // discipline auto-detection
+    // discipline auto-detection. Active levels come from per-log2-bucket
+    // extent extrema in the SAME pass: the cell size is only known after
+    // the pass, but levelFor is monotone in the extent and level
+    // thresholds are 8x apart, so a <=2x-wide extent bucket spans at most
+    // one threshold — {levelFor(bucketMin), levelFor(bucketMax)} over the
+    // non-empty buckets is EXACTLY the set of attained levels, for any cs.
+    val LVL_BUCKETS = 34 // padded extents fit in 33 bits
     val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
-    val st = padDf(g0.toDF(), cfg).agg(
-      avg(ext.cast("double")), max(ext.cast("long")), max(col("nSubs")),
+    val extL = ext.cast("long")
+    val bucket = coalesce(
+      floor(log2(greatest(extL, lit(1L)))).cast("int"), lit(0))
+    val bucketCols = (0 until LVL_BUCKETS).flatMap { k =>
+      Seq(min(when(bucket === k, extL)).as(s"mn$k"),
+        max(when(bucket === k, extL)).as(s"mx$k"))
+    }
+    val baseAggs = Seq(
+      max(ext.cast("long")), max(col("nSubs")),
       max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0)),
-      max(col("side"))).head()
+      max(col("side")))
+    val st = padDf(g0.toDF(), cfg).agg(
+      avg(ext.cast("double")), baseAggs ++ bucketCols: _*).head()
     val meanExt = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
     val maxExt = if (st.isNullAt(1)) 0L else st.getLong(1)
     val bigMultis = !st.isNullAt(2) && st.getInt(2) > 63
@@ -1319,10 +1464,17 @@ object SpatialJoin {
         g0.filter(r => !dupKeys((r.gid, r.side, r.subId)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
+    // active levels from the single stats pass (see bucketCols above).
+    // P9 removes only exact copies, whose extents equal their keeper's, so
+    // the pre-dedup extrema yield the identical level set.
     val lvls =
       if (levelFor(maxExt, cs) == 0) Seq(0)
-      else padDf(g.toDF(), cfgCs).agg(collect_set(nlvlCol(cs))).head()
-        .getSeq[Int](0).sorted
+      else (0 until LVL_BUCKETS).flatMap { k =>
+        val mnIdx = 5 + 2 * k
+        if (st.isNullAt(mnIdx)) Nil
+        else Seq(levelFor(st.getLong(mnIdx), cs),
+          levelFor(st.getLong(mnIdx + 1), cs))
+      }.distinct.sorted
 
     if (edges.isEmpty && !bigMultis && cfg.mode != "de9im") {
       // dominant case: fused kernel (see fusedPairs)

@@ -32,7 +32,8 @@ object Rel {
 
   /** Walk `curve` (a line, or a polygon whose boundary is probed) against
     * polygon `area`. */
-  def walkVsArea(curve: G, area: G, earlyOut: Boolean = false): WalkRes = {
+  def walkVsArea(curve: G, area: G, earlyOut: Boolean = false,
+      stopAtProper: Boolean = false): WalkRes = {
     val res = new WalkRes
     // open-line endpoints, for contactInterior (rings: every contact counts)
     val open = curve.kind == 1 && !curve.isClosedLine
@@ -164,6 +165,7 @@ object Rel {
       } else lastClass = UNKNOWN
       prevQx = qx; prevQy = qy
       if (earlyOut && res.interiorHit && res.hasOut) return res
+      if (stopAtProper && res.properCross) return res
       seg += 1
     }
     res

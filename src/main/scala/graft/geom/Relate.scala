@@ -102,7 +102,10 @@ object Relate {
   def lineArea(a: G, b: G): PairRel = {
     if (!a.bboxIntersects(b))
       return PairRel(false, false, false, false, false, false, false, false, false)
-    val w = Rel.walkVsArea(a, b)
+    // earlyOut: once the walk has both an interior hit and an exterior
+    // piece, every field below is already decided (covered=false, ii=true,
+    // crosses=true, touches=false) — later contacts cannot change them
+    val w = Rel.walkVsArea(a, b, earlyOut = true)
     val ii = w.properCross || w.hasIn
     val covered = !w.properCross && !w.hasOut
     PairRel(
@@ -119,7 +122,61 @@ object Relate {
   def areaArea(a: G, b: G): PairRel = {
     if (!a.bboxIntersects(b))
       return PairRel(false, false, false, false, false, false, false, false, false)
-    val wA = Rel.walkVsArea(a, b) // a's boundary vs b
+    // walk the SMALLER boundary against the bigger polygon: the walk costs
+    // O(edges(curve) x index-window(area)) and every early exit below fires
+    // on the first walk — for nested/disjoint pairs the second walk then
+    // collapses to O(rings) point locates
+    if (b.nPoints < a.nPoints) return areaArea(b, a).swap
+    val wA = Rel.walkVsArea(a, b, stopAtProper = true) // a's boundary vs b
+    if (wA.properCross) {
+      // a transversal boundary crossing is symmetric: both walks would see
+      // it, so coverage is excluded both ways, interiors and exteriors
+      // intersect both ways, and no later contact can change any field —
+      // the walk stopped at the first crossing and walk B never runs
+      return PairRel(isect = true, aCovByB = false, bCovByA = false,
+        aContInB = false, bContInA = false, touches = false,
+        crosses = false, overlaps = true, interiorIsect = true)
+    }
+    if (!wA.contact) {
+      // boundaries never touch: every ring of either polygon lies strictly
+      // on one side of the other, so walk B reduces to point locates
+      if (wA.hasIn && !wA.hasOut) {
+        // a's whole boundary strictly inside b ⇒ a ⊆ b UNLESS one of b's
+        // hole rings pokes into a (that ring would sit strictly inside a,
+        // undetected by walk A) — one locate per ring of b decides
+        var r = 0; var bRingIn = false
+        while (r < b.nRings && !bRingIn) {
+          val s = b.ringStart(r)
+          if (Geo.locate(b.x(s), b.y(s), a) == IN) bRingIn = true
+          r += 1
+        }
+        return if (!bRingIn)
+          PairRel(isect = true, aCovByB = true, bCovByA = false,
+            aContInB = a.area2 != 0, bContInA = false, touches = false,
+            crosses = false, overlaps = false, interiorIsect = true)
+        else
+          PairRel(isect = true, aCovByB = false, bCovByA = false,
+            aContInB = false, bContInA = false, touches = false,
+            crosses = false, overlaps = true, interiorIsect = true)
+      } else if (wA.hasOut && !wA.hasIn) {
+        // a's whole boundary strictly outside b ⇒ either disjoint or b
+        // strictly inside a; b's point set is connected and cannot escape
+        // a's interior without its boundary meeting a's boundary (no
+        // contact) or a's boundary entering b's interior (all-OUT), so one
+        // representative locate decides. b inside one of a's holes lands
+        // OUT. (ON is impossible without contact; fall through if seen.)
+        val loc = Geo.locate(b.x(0), b.y(0), a)
+        if (loc == IN)
+          return PairRel(isect = true, aCovByB = false, bCovByA = true,
+            aContInB = false, bContInA = b.area2 != 0, touches = false,
+            crosses = false, overlaps = false, interiorIsect = true)
+        else if (loc == OUT)
+          return PairRel(false, false, false, false, false, false, false,
+            false, false)
+      }
+      // mixed per-ring sides (annulus configurations) or a defensive ON:
+      // fall through to the full second walk
+    }
     val wB = Rel.walkVsArea(b, a)
     // an anti-parallel shared boundary piece proves the interiors lie on
     // opposite sides there (e.g. a polygon exactly filling a hole) — it

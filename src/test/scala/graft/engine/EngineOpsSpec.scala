@@ -259,6 +259,60 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(off.nonEmpty)
   }
 
+  test("cellCover generator matches an independent enumeration") {
+    // the cover feeds BOTH join paths; this pins the generator (pad, nlvl,
+    // level filter, cell-range loops, key packing) against a plain-Scala
+    // re-derivation from the documented semantics, on real fixture
+    // geometries, in predicates AND distance mode
+    val s = spark
+    import s.implicits._
+    import graft.geom.{Dist, Geo}
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/datasets/freiburg"), "UTF-8")
+      .getLines().toList
+    val ds = spark.createDataset(lines)
+    val (geoms, _) = Model.parseLines(spark, ds)
+    for (cfg0 <- Seq(SpatialConfig(), SpatialConfig(mode = "distance",
+        withinDist = 5000))) {
+      val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms, cfg0)
+      val (df, cs) = SpatialJoin.cellCover(geoms, cfg, lvls)
+      val got = df.select("gid", "subId", "nlvl", "lvl", "cell",
+          "minX", "minY", "maxX", "maxY")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8)))
+        .toSet
+      val w2 = Geo.WORLD_W / 2
+      val expected = geoms.collect().flatMap { sg =>
+        var (minX, minY, maxX, maxY) = (sg.minX, sg.minY, sg.maxX, sg.maxY)
+        if (cfg.withinDist >= 0) {
+          val f = math.max(1.0 / Dist.distFactor(minY / Geo.PREC),
+            1.0 / Dist.distFactor(maxY / Geo.PREC))
+          val pad = math.ceil((cfg.withinDist / 2.0) * f * Geo.PREC).toInt
+          minX -= pad; minY -= pad; maxX += pad; maxY += pad
+        }
+        val w = math.max(maxX - minX, maxY - minY).toLong
+        val nlvl = SpatialJoin.levelFor(w, cs)
+        for {
+          lvl <- lvls if lvl >= nlvl
+          csL = (cs << (SpatialJoin.LEVEL_FACTOR_BITS * lvl)).toDouble
+          cx <- math.floor((minX + w2) / csL).toLong to
+            math.floor((maxX + w2) / csL).toLong
+          cy <- math.floor((minY + w2) / csL).toLong to
+            math.floor((maxY + w2) / csL).toLong
+        } yield (sg.gid, sg.subId, nlvl, lvl,
+          (lvl.toLong << SpatialJoin.CELL_LVL_SHIFT) +
+            (cx + SpatialJoin.CELL_BIAS) * (1L << SpatialJoin.CELL_XY_BITS) +
+            (cy + SpatialJoin.CELL_BIAS),
+          minX, minY, maxX, maxY)
+      }.toSet
+      assert(got == expected,
+        s"cfg=$cfg0 missing=${(expected -- got).take(3)} " +
+          s"spurious=${(got -- expected).take(3)}")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("sessionize splits on 30-minute gaps") {
     val s = spark
     import s.implicits._
