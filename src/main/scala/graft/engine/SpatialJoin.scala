@@ -181,6 +181,16 @@ object SpatialJoin {
     (exploded, cs)
   }
 
+  /** Public cover accessor (e.g. for the streaming stream-static join):
+    * resolves the cell size + active levels and returns the cover table,
+    * the cell size, and the active levels. */
+  def coverTable(geoms: Dataset[SubGeom], cfg: SpatialConfig = SpatialConfig())
+      : (DataFrame, Long, Seq[Int]) = {
+    val (cfg2, lvls, _) = coverSpec(geoms, cfg)
+    val (df, cs) = cellCover(geoms, cfg2, lvls)
+    (df, cs, lvls)
+  }
+
   private[engine] def cellCover(geoms: Dataset[SubGeom], cfg: SpatialConfig,
       activeLevels: Seq[Int]): (DataFrame, Long) = {
     require(cfg.cellSize > 0, "cellCover needs a resolved cellSize")

@@ -414,10 +414,13 @@ object Rel {
           }
         }
       }
-      // coverage of this a-segment by b
+      // coverage of this a-segment by b (most segments carry 0 or 1
+      // coverage intervals — avoid the boxed sort for those)
       if (len2 > 0) {
         if (onA.isEmpty) covA = false
-        else {
+        else if (onA.length == 1) {
+          if (!(onA(0) <= 0L && onB(0) >= len2)) covA = false
+        } else {
           val idx = (0 until onA.length).sortBy(onA(_))
           var reach = 0L
           var full = false
@@ -469,13 +472,17 @@ object Rel {
           }
         }
         if (onA.isEmpty) return false
-        val idx = (0 until onA.length).sortBy(onA(_))
-        var reach = 0L
-        for (i <- idx) {
-          if (onA(i) > reach) return false
-          if (onB(i) > reach) reach = onB(i)
+        if (onA.length == 1) {
+          if (!(onA(0) <= 0L && onB(0) >= len2)) return false
+        } else {
+          val idx = (0 until onA.length).sortBy(onA(_))
+          var reach = 0L
+          for (i <- idx) {
+            if (onA(i) > reach) return false
+            if (onB(i) > reach) reach = onB(i)
+          }
+          if (reach < len2) return false
         }
-        if (reach < len2) return false
       }
       seg += 1
     }

@@ -42,6 +42,49 @@ object StreamOps {
         col("n_events"))
   }
 
+  /** Streaming point-in-polygon enrichment: a stream of geo-tagged events
+    * (any columns + x, y int web-mercator) joined against a STATIC polygon
+    * set, emitting one row per (event, containing polygon).
+    *
+    * Shape: the polygons' multi-level cell cover (the same cover the batch
+    * join shuffles on) is filtered to each polygon's NATIVE level, the
+    * stream side computes its single containing cell per active level, and
+    * a stream-static equi-join on the cell key + bbox prefilter + exact
+    * ray-cast refine completes the predicate. Each (event, polygon) pair
+    * meets exactly once — in the polygon's native-level cell holding the
+    * point. Stream-static inner joins need no watermark; the static side
+    * is bounded by the polygon set, and at cluster scale Spark broadcasts
+    * it per-microbatch or hash-joins it, both stateless. Works identically
+    * on a batch DataFrame (parity-tested in EngineOpsSpec). */
+  def pointInPolygon(points: DataFrame,
+      polys: org.apache.spark.sql.Dataset[graft.engine.SubGeom]): DataFrame = {
+    import graft.engine.{SpatialConfig, SpatialJoin}
+    import graft.geom.Geo
+    val areas = polys.filter(_.kind == 2)
+    val (cover, cs, lvls) = SpatialJoin.coverTable(areas, SpatialConfig())
+    val native = cover.filter(col("lvl") === col("nlvl"))
+      .select(col("cell"), col("gid"), col("subId"), col("coords"),
+        col("ringEnds"), col("minX"), col("minY"), col("maxX"),
+        col("maxY"))
+    val w2 = Geo.WORLD_W / 2
+    val cellAt = lvls.map { l =>
+      val csL = (cs << (SpatialJoin.LEVEL_FACTOR_BITS * l)).toDouble
+      shiftleft(lit(l.toLong), SpatialJoin.CELL_LVL_SHIFT) +
+        (floor((col("x") + w2) / csL) + SpatialJoin.CELL_BIAS) *
+        (1L << SpatialJoin.CELL_XY_BITS) +
+        (floor((col("y") + w2) / csL) + SpatialJoin.CELL_BIAS)
+    }
+    val probed = points.withColumn("cell", explode(array(cellAt: _*)))
+    val inPoly = udf { (x: Int, y: Int, coords: Seq[Int], re: Seq[Int]) =>
+      Geo.locate(x, y, new Geo.G(2, coords.toArray, re.toArray)) != Geo.OUT
+    }
+    probed.join(native, "cell")
+      .filter(col("x") >= col("minX") && col("x") <= col("maxX") &&
+        col("y") >= col("minY") && col("y") <= col("maxY"))
+      .filter(inPoly(col("x"), col("y"), col("coords"), col("ringEnds")))
+      .drop("cell", "coords", "ringEnds", "minX", "minY", "maxX", "maxY")
+  }
+
   /** Per-user session counts; sessions split on gaps > 30 min.
     *
     * Scale shape: the events are hash-partitioned by user and sorted

@@ -233,6 +233,53 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       tx == t00 && ty == t00 && n == 2 })
   }
 
+  test("streaming point-in-polygon: stream-static join matches batch and " +
+      "brute force") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // polygons from the README example fixture (has nested + multi shapes)
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/datasets/example_id.txt"), "UTF-8")
+      .getLines().toList
+    val (geoms, _) = Model.parseLines(spark, spark.createDataset(lines))
+    val polys = geoms.filter(_.kind == 2).cache()
+    val polyArr = polys.collect()
+    // probe points: every polygon bbox corner/center + far-away outliers
+    val pts = polyArr.flatMap { p =>
+      Seq((p.minX + (p.maxX - p.minX) / 2, p.minY + (p.maxY - p.minY) / 2),
+        (p.minX - 10, p.minY - 10), (p.maxX + 17, p.maxY + 23))
+    }.distinct.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    // brute-force oracle
+    val expected = (for {
+      (id, x, y) <- pts
+      p <- polyArr
+      g = Model.toG(p.kind, p.coords, p.ringEnds)
+      if graft.geom.Geo.locate(x, y, g) != graft.geom.Geo.OUT
+    } yield (id, p.gid, p.subId)).toSet
+    assert(expected.nonEmpty)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.select(col("id"), col("gid"), col("subId")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // batch twin, same plan
+    val batch = key(graft.streaming.StreamOps.pointInPolygon(
+      pts.toSeq.toDF("id", "x", "y"), polys))
+    assert(batch == expected,
+      s"missing=${(expected -- batch).take(5)} spurious=${(batch -- expected).take(5)}")
+    // streaming run over the identical rows
+    val mem = MemoryStream[(Long, Int, Int)]
+    val q = graft.streaming.StreamOps.pointInPolygon(
+        mem.toDF().toDF("id", "x", "y"), polys)
+      .writeStream.format("memory").queryName("pip")
+      .outputMode("append").start()
+    mem.addData(pts.toSeq: _*)
+    q.processAllAvailable()
+    val streamed = key(spark.table("pip"))
+    q.stop()
+    assert(streamed == expected)
+    polys.unpersist()
+  }
+
   test("P7 inner/outer pre-checks leave join results invariant") {
     // freiburg: big many-vertex admin polygons + points/lines — exercises
     // the reject (outer x outer) and accept (outer in inner) shortcuts;
