@@ -20,7 +20,8 @@ object SpatialBench {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", shuffle.toString)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("GRAFT_AQE", "true"))
         .config("spark.ui.enabled", "false")
         // measured: off-heap Tungsten pages were 1.5-3x slower here; G1 +
         // pre-sized heap handles the on-heap pages fine (see build.sbt)

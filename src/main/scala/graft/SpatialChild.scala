@@ -24,7 +24,8 @@ object SpatialChild {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shuffle.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
         sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))

@@ -148,14 +148,17 @@ object SpatialJoin {
     * pair (a,b) is examined exactly once: in the first common cell at
     * level max(a.nlvl, b.nlvl). Returns (exploded cover, cell size).
     *
-    * One tight generator instead of the previous Catalyst chain (pad
-    * projection + 15-way nlvl coalesce + filter/explode + two sequence
-    * explodes): each generate node materialized every intermediate row —
-    * with the coords payload arrays copied per cover row — and the chain
-    * cost as much CPU as half the exact kernel (9.3 of 18.7 core-s per
-    * 1M-geom join at 4 cores). Here the payload is copied exactly once
-    * per emitted cover row, by the output projection. */
-  /** Catalyst-chain cover (measurement alternate, GRAFT_COVER=sql). */
+    * Dispatches to [[cellCoverSql]] by default (see its doc for the
+    * measured 5x verdict); the mapPartitions generator below is retained
+    * as the GRAFT_COVER=gen measurement alternate, pinned to identical
+    * output by the EngineOpsSpec enumeration test. */
+  /** Catalyst-chain cover — the DEFAULT. Measured 5x faster than the
+    * hand-written mapPartitions generator at 1 core (4.2 vs 22 stage
+    * cpu-s per 1M-geom cover): the pad/nlvl/explode chain stays inside
+    * ONE WholeStageCodegen span (generate nodes are codegen'd in Spark 4),
+    * so nothing materializes between steps, while the generator pays a
+    * generic UnsafeProjection whose array writes go element-by-element
+    * through boxed ArrayData fields. Kept measurable via GRAFT_COVER=gen. */
   private def cellCoverSql(geoms: Dataset[SubGeom], cfg: SpatialConfig,
       activeLevels: Seq[Int]): (DataFrame, Long) = {
     val padded = padDf(geoms.toDF(), cfg)
@@ -194,7 +197,7 @@ object SpatialJoin {
   private[engine] def cellCover(geoms: Dataset[SubGeom], cfg: SpatialConfig,
       activeLevels: Seq[Int]): (DataFrame, Long) = {
     require(cfg.cellSize > 0, "cellCover needs a resolved cellSize")
-    if (sys.env.get("GRAFT_COVER").contains("sql"))
+    if (!sys.env.get("GRAFT_COVER").contains("gen"))
       return cellCoverSql(geoms, cfg, activeLevels)
     val cs = cfg.cellSize
     val spark = geoms.sparkSession
