@@ -179,10 +179,17 @@ object Bench {
 
     // skew leg: one continent polygon + the point cloud — proves the
     // multi-level cover handles planet-scale geometries through the shuffle
-    // (no broadcast, flat memory); see SynthGeo.skewDataset
-    val (tSkew, skewRels) = forkedRun(nGeoms, cpus, cpus, phase = "skew")
+    // (no broadcast, flat memory); see SynthGeo.skewDataset. Best of 2,
+    // like the headline: a single draw on this host has misreported a
+    // ~4 s leg as 25 s.
+    def bestOf2(phase: String): (Double, Long) = {
+      val (tA, n) = forkedRun(nGeoms, cpus, cpus, phase)
+      val (tB, _) = forkedRun(nGeoms, cpus, cpus, phase)
+      (math.min(tA, tB), n)
+    }
+    val (tSkew, skewRels) = bestOf2("skew")
     // kNN leg: expanding cell-ring search over nGeoms points, 0.1% queries
-    val (tKnn, knnRows) = forkedRun(nGeoms, cpus, cpus, phase = "knn")
+    val (tKnn, knnRows) = bestOf2("knn")
 
     val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
     val pairsPerSec = nRels / tMain
