@@ -106,6 +106,11 @@ object QueryPack {
       length(txt).as("len_chars"),
       spaces.as("n_spaces"),
       (spaces + 1).as("n_tokens_ws"),
+      // BPE-ish regex token count: letter runs, digit runs, single
+      // non-alnum marks — the common pre-tokenization shape (portable
+      // subset identical under Java regex and DuckDB's RE2)
+      size(regexp_extract_all(txt, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("n_tokens_re"),
       ((length(txt) - length(regexp_replace(txt, "the", ""))) / 3)
         .cast("long").as("n_the"))
   }
@@ -262,6 +267,8 @@ object QueryPack {
       """SELECT doc_id, length(text) AS len_chars,
         | length(text) - length(replace(text, ' ', '')) AS n_spaces,
         | length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens_ws,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |   AS n_tokens_re,
         | (length(text) - length(replace(text, 'the', ''))) // 3 AS n_the
         |FROM documents""".stripMargin,
     "q11_langid" ->

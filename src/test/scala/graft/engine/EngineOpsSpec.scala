@@ -306,6 +306,41 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(off.nonEmpty)
   }
 
+  test("fused kernel == general candidates+refine+aggregate pipeline") {
+    // the engine has two independent physical pipelines for the same
+    // semantics: the fused kernel (dominant path) and the general
+    // SMJ+refine+aggregate path (de9im / refs / >63-part multis). Their
+    // outputs must be IDENTICAL on the same input — this differential
+    // catches fusion bugs (pair dedup, level-visitor discipline, partial
+    // aggregation) that fixture assertions on either path alone would miss.
+    val s = spark
+    def rels(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+    for (cfg0 <- Seq(SpatialConfig(dupMinPoints = -1),
+        SpatialConfig(mode = "distance", withinDist = 2500,
+          dupMinPoints = -1))) {
+      val geoms = SynthGeo.dataset(s, 4000).cache()
+      val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms, cfg0)
+      val fused = rels(SpatialJoin.aggregateFromPre(s,
+        SpatialJoin.fusedPairs(s, geoms, cfg, lvls), cfg)
+        .selectExpr("a_id", "cast(" +
+          (if (cfg.mode == "distance") "dist" else "predicate") +
+          " as string)", "b_id"))
+      val general = rels(SpatialJoin.aggregate(s,
+        SpatialJoin.refine(s, SpatialJoin.candidates(s, geoms, cfg, lvls),
+          cfg), cfg, hadRefs = false, mayHaveBigMultis = false)
+        .selectExpr("a_id", "cast(" +
+          (if (cfg.mode == "distance") "dist" else "predicate") +
+          " as string)", "b_id"))
+      assert(fused == general,
+        s"mode=${cfg0.mode} fusedOnly=${(fused -- general).take(5)} " +
+          s"generalOnly=${(general -- fused).take(5)}")
+      assert(fused.nonEmpty)
+      geoms.unpersist()
+    }
+  }
+
   test("cellCover generator matches an independent enumeration") {
     // the cover feeds BOTH join paths; this pins the generator (pad, nlvl,
     // level filter, cell-range loops, key packing) against a plain-Scala
