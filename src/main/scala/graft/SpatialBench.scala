@@ -61,8 +61,10 @@ object SpatialBench {
       // warmup small
       SpatialJoin.run(spark, SynthGeo.dataset(spark, 20000), refs,
         SpatialConfig()).count()
-      stages.clear()
       val geoms = SynthGeo.dataset(spark, n)
+      geoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .count() // input materialized outside the measured window
+      stages.clear()
       if (sys.env.contains("GRAFT_EXPLAIN")) {
         SpatialJoin.candidates(spark, geoms, SpatialConfig())
           .explain("formatted")
