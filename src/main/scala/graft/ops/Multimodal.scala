@@ -75,6 +75,85 @@ object Multimodal {
     } else None
   }
 
+  /** Parse (channels, sampleRate, bitsPerSample, durationMs) from a real
+    * RIFF/WAVE header (chunk walk to "fmt " + "data"), or None. */
+  def decodeWavHeader(b: Array[Byte])
+      : Option[(Int, Int, Int, Long)] = {
+    val n = b.length
+    if (n < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var dataLen = -1L
+    while (i + 8 <= n && (channels < 0 || dataLen < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = le32(b, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 24 <= n) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") dataLen = len
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0) None
+    else {
+      val bytesPerSec = rate.toLong * channels * (bits / 8)
+      val durMs = if (dataLen >= 0 && bytesPerSec > 0)
+        dataLen * 1000L / bytesPerSec else -1L
+      Some((channels, rate, bits, durMs))
+    }
+  }
+
+  /** Parse (timescale, durationMs) from a real ISO-BMFF (MP4) header:
+    * top-level box walk to moov, then moov children to mvhd (v0/v1). */
+  def decodeMp4Header(b: Array[Byte]): Option[(Long, Long)] = {
+    val n = b.length
+    def boxAt(i: Int): Option[(String, Long, Int)] = { // (type, size, hdr)
+      if (i + 8 > n) return None
+      var size = be32(b, i).toLong & 0xffffffffL
+      var hdr = 8
+      if (size == 1) {
+        if (i + 16 > n) return None
+        size = (be32(b, i + 8).toLong << 32) |
+          (be32(b, i + 12).toLong & 0xffffffffL)
+        hdr = 16
+      } else if (size == 0) size = (n - i).toLong
+      if (size < hdr) return None
+      Some((new String(b, i + 4, 4, "US-ASCII"), size, hdr))
+    }
+    def findBox(from: Int, until: Int, tpe: String): Option[(Int, Long, Int)] = {
+      var i = from
+      while (i < until) {
+        boxAt(i) match {
+          case Some((t, sz, hdr)) =>
+            if (t == tpe) return Some((i, sz, hdr))
+            if (sz <= 0 || i + sz > until) return None
+            i += sz.toInt
+          case None => return None
+        }
+      }
+      None
+    }
+    for {
+      (mi, msz, mh) <- findBox(0, n, "moov")
+      (vi, _, vh) <- findBox(mi + mh, math.min(n, mi + msz.toInt), "mvhd")
+      p = vi + vh
+      if p + 4 <= n
+      version = u8(b, p)
+      res <- version match {
+        case 0 if p + 20 <= n =>
+          val ts = be32(b, p + 12).toLong & 0xffffffffL
+          val dur = be32(b, p + 16).toLong & 0xffffffffL
+          if (ts > 0) Some((ts, dur * 1000L / ts)) else None
+        case 1 if p + 32 <= n =>
+          val ts = be32(b, p + 20).toLong & 0xffffffffL
+          val dur = (be32(b, p + 24).toLong << 32) |
+            (be32(b, p + 28).toLong & 0xffffffffL)
+          if (ts > 0) Some((ts, dur * 1000L / ts)) else None
+        case _ => None
+      }
+    } yield res
+  }
+
   /** Deterministic fallback for non-image payloads (pins the oracle). */
   def decodeFallback(payload: Array[Byte]): (Int, Int, String) = {
     val n = payload.length
@@ -110,6 +189,39 @@ object Multimodal {
         val (w, h, f) = decode(m.payload)
         ImgFeatures(m.doc_id, m.payload.length, w, h, f,
           byteHistogram(m.payload))
+      }
+    }
+  }
+
+  final case class AvFeatures(
+      doc_id: Long, n_bytes: Int, kind: String,
+      width: Int, height: Int, // image kinds; -1 otherwise
+      channels: Int, sample_rate: Int, bits: Int, // wav; -1 otherwise
+      duration_ms: Long) // wav/mp4; -1 otherwise
+
+  /** Unified media sniff across all real header codecs: image containers,
+    * RIFF/WAVE audio, ISO-BMFF video; "opaque" otherwise. Batch-iterated
+    * per partition like [[imageFeatures]]. */
+  def mediaFeatures(spark: SparkSession, media: Dataset[MediaRow])
+      : Dataset[AvFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val b = m.payload
+        decodeHeader(b) match {
+          case Some((w, h, f)) =>
+            AvFeatures(m.doc_id, b.length, f, w, h, -1, -1, -1, -1L)
+          case None => decodeWavHeader(b) match {
+            case Some((ch, rate, bits, dur)) =>
+              AvFeatures(m.doc_id, b.length, "wav", -1, -1, ch, rate, bits, dur)
+            case None => decodeMp4Header(b) match {
+              case Some((_, durMs)) =>
+                AvFeatures(m.doc_id, b.length, "mp4", -1, -1, -1, -1, -1, durMs)
+              case None =>
+                AvFeatures(m.doc_id, b.length, "opaque", -1, -1, -1, -1, -1, -1L)
+            }
+          }
+        }
       }
     }
   }

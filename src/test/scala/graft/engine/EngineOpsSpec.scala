@@ -233,6 +233,50 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       tx == t00 && ty == t00 && n == 2 })
   }
 
+  test("multimodal WAV/MP4 header codecs on constructed containers") {
+    import graft.ops.Multimodal
+    val s = spark
+    import s.implicits._
+    // a real 44-byte-header PCM WAV: 2ch, 8000 Hz, 16-bit, 16000 bytes of
+    // data = 500 ms
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 16000); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(8000)
+    bb.putInt(8000 * 2 * 2); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(16000)
+    val wav = java.util.Arrays.copyOf(bb.array(), bb.position()) ++
+      new Array[Byte](64) // truncated payload is fine for the header parse
+    assert(Multimodal.decodeWavHeader(wav) == Some((2, 8000, 16, 500L)))
+
+    // a minimal ISO-BMFF: ftyp box + moov[mvhd v0 timescale=1000 dur=2500]
+    def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    val ftyp = be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(512)
+    val mvhdPayload = Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+      be(0) ++ be(0) ++ be(1000) ++ be(2500) ++ new Array[Byte](80)
+    val mvhd = be(8 + mvhdPayload.length) ++ "mvhd".getBytes ++ mvhdPayload
+    val moov = be(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val mp4 = ftyp ++ moov
+    assert(Multimodal.decodeMp4Header(mp4) == Some((1000L, 2500L)))
+
+    // mediaFeatures dispatch: wav, mp4, png, opaque through the typed op
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be(13) ++ "IHDR".getBytes ++ be(640) ++ be(480) ++ new Array[Byte](5)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wav), Multimodal.MediaRow(2L, mp4),
+      Multimodal.MediaRow(3L, png),
+      Multimodal.MediaRow(4L, "just text".getBytes))
+    val out = Multimodal.mediaFeatures(s, rows.toDS()).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).kind == "wav" && out(1L).sample_rate == 8000 &&
+      out(1L).duration_ms == 500L)
+    assert(out(2L).kind == "mp4" && out(2L).duration_ms == 2500L)
+    assert(out(3L).kind == "png" && out(3L).width == 640 &&
+      out(3L).height == 480)
+    assert(out(4L).kind == "opaque")
+  }
+
   test("streaming point-in-polygon: stream-static join matches batch and " +
       "brute force") {
     val s = spark
