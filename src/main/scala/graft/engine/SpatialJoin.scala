@@ -1017,17 +1017,48 @@ object SpatialJoin {
     // applies to a mapPartitions-consumed exchange anyway (join-only), so
     // the explicit count gives strictly better balance.
     val kernelParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = src.repartition(kernelParts, col("cell"))
-      .sortWithinPartitions(col("cell"))
+    // the kernel needs cell GROUPING, not global cell order; the hash
+    // variant (spark conf graft.kernel.group=hash, or env
+    // GRAFT_KERNEL_GROUP) skips the Tungsten sort and re-groups rows in a
+    // per-partition LinkedHashMap (bounded by the partition's row payload,
+    // which the sorter buffers anyway). Interleaved A/B on the 1M-geom
+    // join: ~4% faster at 1 core and 32 cores, but occasionally slower at
+    // 4 cores (larger live buffer per concurrent task) — sort stays the
+    // default.
+    val hashGroup = spark.conf.getOption("graft.kernel.group")
+      .orElse(sys.env.get("GRAFT_KERNEL_GROUP")).contains("hash")
+    val shuffled = src.repartition(kernelParts, col("cell"))
+    val sorted =
+      if (hashGroup) shuffled else shuffled.sortWithinPartitions(col("cell"))
     val accChecks = spark.sparkContext.longAccumulator("graft.exactChecks")
     val accDecided = spark.sparkContext.longAccumulator("graft.decided")
     lastExactChecks = accChecks
     lastDecided = accDecided
 
-    val rdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { rows0 =>
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
       import org.apache.spark.unsafe.types.UTF8String
+      // hash-group variant: drain the partition into per-cell buffers and
+      // replay cell-contiguously — the downstream pump only needs cells to
+      // arrive as contiguous blocks, in any cell order
+      val rows: Iterator[InternalRow] =
+        if (!hashGroup) rows0
+        else {
+          val m = new java.util.LinkedHashMap[java.lang.Long,
+            scala.collection.mutable.ArrayBuffer[InternalRow]]()
+          while (rows0.hasNext) {
+            val r = rows0.next()
+            var buf = m.get(r.getLong(0))
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[InternalRow](4)
+              m.put(r.getLong(0), buf)
+            }
+            buf += r.copy()
+          }
+          import scala.jdk.CollectionConverters._
+          m.values().iterator().asScala.flatMap(_.iterator)
+        }
       val proj = UnsafeProjection.create(schema)
       val out = new SpecificInternalRow(schema)
       val aggMap = new java.util.HashMap[PKey, AggState](1 << 12)

@@ -380,6 +380,16 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fused == general,
         s"mode=${cfg0.mode} fusedOnly=${(fused -- general).take(5)} " +
           s"generalOnly=${(general -- fused).take(5)}")
+      // the hash-grouped kernel variant must agree bit-for-bit too
+      s.conf.set("graft.kernel.group", "hash")
+      val hashed = try rels(SpatialJoin.aggregateFromPre(s,
+        SpatialJoin.fusedPairs(s, geoms, cfg, lvls), cfg)
+        .selectExpr("a_id", "cast(" +
+          (if (cfg.mode == "distance") "dist" else "predicate") +
+          " as string)", "b_id"))
+      finally s.conf.unset("graft.kernel.group")
+      assert(hashed == general, s"mode=${cfg0.mode} hash-group variant " +
+        s"diverges: ${(hashed -- general).take(5)}")
       assert(fused.nonEmpty)
       geoms.unpersist()
     }
