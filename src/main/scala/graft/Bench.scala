@@ -182,7 +182,9 @@ object Bench {
     // partitions per core pack short tasks better at low core counts
     def oneRun(cores: Int): Double =
       forkedRun(nScale, cores, shuffleParts = cores * 4)._1
-    val reps = (1 to 3).map(_ => (oneRun(nLow), oneRun(nHigh)))
+    // 2 interleaved reps (was 3): the 2x-size legs are individually less
+    // noise-prone and the full bench must stay inside the driver's window
+    val reps = (1 to 2).map(_ => (oneRun(nLow), oneRun(nHigh)))
     val tLow = reps.map(_._1).min
     val tHigh = reps.map(_._2).min
 
