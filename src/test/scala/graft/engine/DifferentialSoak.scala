@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential soak: fused kernel vs general candidates+refine+aggregate
+  * on SynthGeo inputs at arbitrary (seed, n) — a bug hunt beyond the fixed
+  * (42, 4000) instance the suite pins. Run:
+  *
+  *   sbt "Test/runMain graft.engine.DifferentialSoak <n> <seed> [<seed>...]"
+  *
+  * Exits non-zero on the first divergence, printing up to 5 rows per side.
+  */
+object DifferentialSoak {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 30000L
+    val seeds = if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+      else Seq(7L, 1234L, 99999L)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rels(df: org.apache.spark.sql.DataFrame, dist: Boolean)
+        : Set[(String, String, String)] = {
+      val col = if (dist) "dist" else "predicate"
+      df.selectExpr("a_id", s"cast($col as string)", "b_id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+    }
+
+    var bad = false
+    for (seed <- seeds;
+         cfg0 <- Seq(SpatialConfig(dupMinPoints = -1),
+           SpatialConfig(mode = "distance", withinDist = 2500,
+             dupMinPoints = -1))) {
+      val geoms = SynthGeo.dataset(spark, n, seed).cache()
+      val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms, cfg0)
+      val dist = cfg.mode == "distance"
+      val fused = rels(SpatialJoin.aggregateFromPre(spark,
+        SpatialJoin.fusedPairs(spark, geoms, cfg, lvls), cfg), dist)
+      val general = rels(SpatialJoin.aggregate(spark,
+        SpatialJoin.refine(spark,
+          SpatialJoin.candidates(spark, geoms, cfg, lvls), cfg),
+        cfg, hadRefs = false, mayHaveBigMultis = false), dist)
+      val ok = fused == general && fused.nonEmpty
+      println(s"[soak] seed=$seed n=$n mode=${cfg0.mode} rels=${fused.size} " +
+        (if (ok) "OK" else "DIVERGED"))
+      if (!ok) {
+        bad = true
+        println(s"  fusedOnly=${(fused -- general).take(5)}")
+        println(s"  generalOnly=${(general -- fused).take(5)}")
+      }
+      geoms.unpersist()
+    }
+    spark.stop()
+    if (bad) sys.exit(1)
+  }
+}
