@@ -282,24 +282,43 @@ object Geo {
   final val ON = 1
   final val IN = 2
 
-  /** Exact ray-cast point location vs polygon with holes. */
+  /** Exact ray-cast point location vs polygon with holes. Iterates the
+    * y-index manually (monomorphic inner loop — see EdgeIndex.forRange). */
   def locate(px: Int, py: Int, g: G): Int = {
     if (px < g.minX || px > g.maxX || py < g.minY || py > g.maxY) return OUT
+    val idx = g.edgeIndexY
+    val cs = g.coords
+    val nx = g.nextIdx
     var crossings = 0
     var on = false
-    g.edgeIndexY.forRange(py, py) { e =>
-      if (!on) {
-        val i = g.edgeP(e); val j = g.edgeQ(e)
-        val ax = g.x(i); val ay = g.y(i); val bx = g.x(j); val by = g.y(j)
-        if (onSeg(px, py, ax, ay, bx, by)) on = true
-        // half-open rule: count crossings of the horizontal ray to +x
-        else if ((ay > py) != (by > py)) {
+    // one edge visit, shared by both tiers
+    def visit(e: Int): Boolean = { // returns true when the point is ON
+      val j = nx(e)
+      val ax = cs(2 * e); val ay = cs(2 * e + 1)
+      val bx = cs(2 * j); val by = cs(2 * j + 1)
+      if (onSeg(px, py, ax, ay, bx, by)) true
+      // half-open rule: count crossings of the horizontal ray to +x
+      else {
+        if ((ay > py) != (by > py)) {
           // ray crosses iff edge x at y=py is > px, exact sign test
           val det = (bx - ax).toLong * (py - ay) - (by - ay).toLong * (px - ax)
           if (by > ay) { if (det > 0) crossings += 1 }
           else { if (det < 0) crossings += 1 }
         }
+        false
       }
+    }
+    var k = 0
+    val lIds = idx.longIds; val lMin = idx.longMin; val lMax = idx.longMax
+    while (k < lIds.length && !on) {
+      if (lMin(k) <= py && lMax(k) >= py) on = visit(lIds(k))
+      k += 1
+    }
+    val minXs = idx.minXs; val order = idx.order
+    var i = idx.lowerBound(py)
+    while (i < minXs.length && minXs(i) <= py && !on) {
+      on = visit(order(i))
+      i += 1
     }
     if (on) ON
     else if ((crossings & 1) == 1) IN
@@ -323,25 +342,36 @@ final class EdgeIndex(
     * Two tiers: a few long edges are checked directly (a single long edge
     * would otherwise inflate the search window of EVERY query by its whole
     * span); the short majority is answered by binary search with the small
-    * residual span widening. */
+    * residual span widening.
+    *
+    * Hot paths (walkVsArea's inner loop, locate's ray cast) iterate
+    * MANUALLY via [[lowerBound]] + the public arrays instead of this
+    * closure form: the call sites are megamorphic (several distinct
+    * lambdas), so `f` never inlines and every visited edge pays a virtual
+    * dispatch plus a closure allocation per query. */
   def forRange(lo: Int, hi: Int)(f: Int => Unit): Unit = {
     var k = 0
     while (k < longIds.length) {
       if (longMin(k) <= hi && longMax(k) >= lo) f(longIds(k))
       k += 1
     }
+    var i = lowerBound(lo)
+    while (i < minXs.length && minXs(i) <= hi) {
+      f(order(i))
+      i += 1
+    }
+  }
+
+  /** First index into the short tier whose minX may overlap a query
+    * starting at `lo` (i.e. minXs(i) >= lo - maxSpan). */
+  def lowerBound(lo: Int): Int = {
     val from = (lo.toLong - maxSpan).max(Int.MinValue).toInt
-    // binary search first index with minXs >= from
     var a = 0; var b = minXs.length
     while (a < b) {
       val m = (a + b) >>> 1
       if (minXs(m) < from) a = m + 1 else b = m
     }
-    var i = a
-    while (i < minXs.length && minXs(i) <= hi) {
-      f(order(i))
-      i += 1
-    }
+    a
   }
 }
 

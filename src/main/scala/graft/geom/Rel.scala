@@ -30,6 +30,99 @@ object Rel {
     def interiorHit: Boolean = properCross || hasIn
   }
 
+  /** Per-walk scan state: one instance per walkVsArea call, so the inner
+    * edge visit is a MONOMORPHIC method call (the old closure form paid a
+    * megamorphic dispatch per visited edge plus a closure allocation per
+    * curve segment — see EdgeIndex.forRange doc). */
+  private final class Walker(val res: WalkRes, area: G,
+      open: Boolean, ce0x: Int, ce0y: Int, ce1x: Int, ce1y: Int) {
+    val events = new ArrayBuffer[Long]()   // params (dot along segment)
+    val evX = new ArrayBuffer[Int]()
+    val evY = new ArrayBuffer[Int]()
+    val onA = new ArrayBuffer[Long]()      // on-interval starts
+    val onB = new ArrayBuffer[Long]()      // on-interval ends
+    // current curve segment
+    var px = 0; var py = 0; var qx = 0; var qy = 0
+    var dx = 0L; var dy = 0L
+    var segMinY = 0; var segMaxY = 0
+    var segProper = false
+    private val aCoords = area.coords
+    private val aNext = area.nextIdx
+
+    def markContact(vx: Int, vy: Int): Unit = {
+      res.contact = true
+      if (!open || !((vx == ce0x && vy == ce0y) || (vx == ce1x && vy == ce1y)))
+        res.contactInterior = true
+    }
+
+    def visit(e: Int): Unit = {
+      val bi = aNext(e)
+      val ax = aCoords(2 * e); val ay = aCoords(2 * e + 1)
+      val bx = aCoords(2 * bi); val by = aCoords(2 * bi + 1)
+      if (!(math.max(ay, by) < segMinY || math.min(ay, by) > segMaxY)) {
+        val o1 = orient(ax, ay, bx, by, px, py)
+        val o2 = orient(ax, ay, bx, by, qx, qy)
+        if (o1 == 0 && o2 == 0) {
+          // collinear: projection overlap along the curve segment
+          val len2 = dx * dx + dy * dy
+          val ta = dot(ax - px, ay - py, dx, dy)
+          val tb = dot(bx - px, by - py, dx, dy)
+          val lo = math.max(math.min(ta, tb), 0L)
+          val hi = math.min(math.max(ta, tb), len2)
+          // integer point x/y for a param (one of the 4 endpoints)
+          def ptX(t: Long): Int =
+            if (t == 0L) px else if (t == len2) qx
+            else if (t == ta) ax else bx
+          def ptY(t: Long): Int =
+            if (t == 0L) py else if (t == len2) qy
+            else if (t == ta) ay else by
+          if (lo < hi) {
+            onA += lo; onB += hi; res.contact = true; res.hasOn = true
+            res.contactInterior = true
+            if (dot(bx - ax, by - ay, dx, dy) < 0) res.hasOnOpposite = true
+            events += lo; evX += ptX(lo); evY += ptY(lo)
+            events += hi; evX += ptX(hi); evY += ptY(hi)
+          } else if (lo == hi) { // single-point touch
+            val vx = ptX(lo); val vy = ptY(lo)
+            events += lo; evX += vx; evY += vy
+            markContact(vx, vy)
+          }
+        } else {
+          val o3 = orient(px, py, qx, qy, ax, ay)
+          val o4 = orient(px, py, qx, qy, bx, by)
+          var ev = false
+          // endpoint-on-segment contacts (integer points)
+          if (o1 == 0 && segBetween(px, py, ax, ay, bx, by)) {
+            events += 0L; evX += px; evY += py; ev = true
+            markContact(px, py)
+          }
+          if (o2 == 0 && segBetween(qx, qy, ax, ay, bx, by)) {
+            events += dx * dx + dy * dy; evX += qx; evY += qy; ev = true
+            markContact(qx, qy)
+          }
+          if (o3 == 0 && segBetween(ax, ay, px, py, qx, qy)) {
+            events += dot(ax - px, ay - py, dx, dy); evX += ax; evY += ay
+            ev = true
+            markContact(ax, ay)
+          }
+          if (o4 == 0 && segBetween(bx, by, px, py, qx, qy)) {
+            events += dot(bx - px, by - py, dx, dy); evX += bx; evY += by
+            ev = true
+            markContact(bx, by)
+          }
+          if (!ev && o1 * o2 < 0 && o3 * o4 < 0) {
+            segProper = true
+            res.properCross = true
+            res.hasIn = true
+            res.hasOut = true
+            res.contact = true
+            res.contactInterior = true
+          }
+        }
+      }
+    }
+  }
+
   /** Walk `curve` (a line, or a polygon whose boundary is probed) against
     * polygon `area`. */
   def walkVsArea(curve: G, area: G, earlyOut: Boolean = false,
@@ -37,21 +130,14 @@ object Rel {
     val res = new WalkRes
     // open-line endpoints, for contactInterior (rings: every contact counts)
     val open = curve.kind == 1 && !curve.isClosedLine
-    val ce0x = curve.x(0); val ce0y = curve.y(0)
     val cl = curve.nPoints - 1
-    val ce1x = curve.x(cl); val ce1y = curve.y(cl)
-    def markContact(vx: Int, vy: Int): Unit = {
-      res.contact = true
-      if (!open || !((vx == ce0x && vy == ce0y) || (vx == ce1x && vy == ce1y)))
-        res.contactInterior = true
-    }
+    val w = new Walker(res, area, open, curve.x(0), curve.y(0),
+      curve.x(cl), curve.y(cl))
     val nSeg = curve.edgeCount
+    val aIdx = area.edgeIndex
+    val lIds = aIdx.longIds; val lMin = aIdx.longMin; val lMax = aIdx.longMax
+    val minXs = aIdx.minXs; val order = aIdx.order
     var seg = 0
-    val events = new ArrayBuffer[Long]()   // params (dot along segment)
-    val evX = new ArrayBuffer[Int]()
-    val evY = new ArrayBuffer[Int]()
-    val onA = new ArrayBuffer[Long]()      // on-interval starts
-    val onB = new ArrayBuffer[Long]()      // on-interval ends
     // carry-forward classification: a segment with NO boundary events lies
     // strictly on one side, and if it starts where the previous segment
     // ended (same ring, no contact there), that side is the previous
@@ -61,90 +147,38 @@ object Rel {
     var lastClass = UNKNOWN
     var prevQx = Int.MinValue; var prevQy = Int.MinValue
     while (seg < nSeg && !(res.properCross && res.hasOn && res.contact)) {
-      val pi = curve.edgeP(seg); val qi = curve.edgeQ(seg)
-      val px = curve.x(pi); val py = curve.y(pi)
+      val qi = curve.edgeQ(seg)
+      val px = curve.x(seg); val py = curve.y(seg)
       val qx = curve.x(qi); val qy = curve.y(qi)
       val dx = (qx - px).toLong; val dy = (qy - py).toLong
       val segMinX = math.min(px, qx); val segMaxX = math.max(px, qx)
       val segMinY = math.min(py, qy); val segMaxY = math.max(py, qy)
-      events.clear(); evX.clear(); evY.clear(); onA.clear(); onB.clear()
-      var segProper = false
+      w.events.clear(); w.evX.clear(); w.evY.clear()
+      w.onA.clear(); w.onB.clear()
+      w.px = px; w.py = py; w.qx = qx; w.qy = qy
+      w.dx = dx; w.dy = dy
+      w.segMinY = segMinY; w.segMaxY = segMaxY
+      w.segProper = false
 
       // fast reject: segment bbox vs area bbox
       val mayTouch = !(segMaxX < area.minX || segMinX > area.maxX ||
         segMaxY < area.minY || segMinY > area.maxY)
 
       if (mayTouch) {
-        area.edgeIndex.forRange(segMinX, segMaxX) { e =>
-          val ai = area.edgeP(e); val bi = area.edgeQ(e)
-          val ax = area.x(ai); val ay = area.y(ai)
-          val bx = area.x(bi); val by = area.y(bi)
-          if (!(math.max(ay, by) < segMinY || math.min(ay, by) > segMaxY)) {
-            val o1 = orient(ax, ay, bx, by, px, py)
-            val o2 = orient(ax, ay, bx, by, qx, qy)
-            if (o1 == 0 && o2 == 0) {
-              // collinear: projection overlap along the curve segment
-              val len2 = dx * dx + dy * dy
-              val ta = dot(ax - px, ay - py, dx, dy)
-              val tb = dot(bx - px, by - py, dx, dy)
-              val lo = math.max(math.min(ta, tb), 0L)
-              val hi = math.min(math.max(ta, tb), len2)
-              // integer point for a param (one of the 4 endpoints)
-              def pt(t: Long): (Int, Int) =
-                if (t == 0L) (px, py)
-                else if (t == len2) (qx, qy)
-                else if (t == ta) (ax, ay)
-                else (bx, by)
-              if (lo < hi) {
-                onA += lo; onB += hi; res.contact = true; res.hasOn = true
-                res.contactInterior = true
-                if (dot(bx - ax, by - ay, dx, dy) < 0) res.hasOnOpposite = true
-                val (lx, ly) = pt(lo); val (hx, hy) = pt(hi)
-                events += lo; evX += lx; evY += ly
-                events += hi; evX += hx; evY += hy
-              } else if (lo == hi) { // single-point touch
-                val (vx, vy) = pt(lo)
-                events += lo; evX += vx; evY += vy
-                markContact(vx, vy)
-              }
-            } else {
-              val o3 = orient(px, py, qx, qy, ax, ay)
-              val o4 = orient(px, py, qx, qy, bx, by)
-              var ev = false
-              // endpoint-on-segment contacts (integer points)
-              if (o1 == 0 && segBetween(px, py, ax, ay, bx, by)) {
-                events += 0L; evX += px; evY += py; ev = true
-                markContact(px, py)
-              }
-              if (o2 == 0 && segBetween(qx, qy, ax, ay, bx, by)) {
-                events += dx * dx + dy * dy; evX += qx; evY += qy; ev = true
-                markContact(qx, qy)
-              }
-              if (o3 == 0 && segBetween(ax, ay, px, py, qx, qy)) {
-                events += dot(ax - px, ay - py, dx, dy); evX += ax; evY += ay
-                ev = true
-                markContact(ax, ay)
-              }
-              if (o4 == 0 && segBetween(bx, by, px, py, qx, qy)) {
-                events += dot(bx - px, by - py, dx, dy); evX += bx; evY += by
-                ev = true
-                markContact(bx, by)
-              }
-              if (!ev && o1 * o2 < 0 && o3 * o4 < 0) {
-                segProper = true
-                res.properCross = true
-                res.hasIn = true
-                res.hasOut = true
-                res.contact = true
-                res.contactInterior = true
-              }
-            }
-          }
+        var k = 0
+        while (k < lIds.length) {
+          if (lMin(k) <= segMaxX && lMax(k) >= segMinX) w.visit(lIds(k))
+          k += 1
+        }
+        var i = aIdx.lowerBound(segMinX)
+        while (i < minXs.length && minXs(i) <= segMaxX) {
+          w.visit(order(i))
+          i += 1
         }
       }
 
-      if (!segProper && !(dx == 0 && dy == 0)) {
-        if (events.isEmpty && onA.isEmpty) {
+      if (!w.segProper && !(dx == 0 && dy == 0)) {
+        if (w.events.isEmpty && w.onA.isEmpty) {
           // no boundary contact on this segment: strictly one side
           val cls =
             if (!mayTouch) OUT
@@ -159,7 +193,7 @@ object Rel {
           lastClass = cls
         } else {
           classifySegment(res, area, px, py, qx, qy, dx, dy,
-            events, evX, evY, onA, onB, mayTouch)
+            w.events, w.evX, w.evY, w.onA, w.onB, mayTouch)
           lastClass = UNKNOWN
         }
       } else lastClass = UNKNOWN
@@ -343,80 +377,121 @@ object Rel {
     var bIntBnd = false // some endpoint of A in interior of B
   }
 
+  /** Per-call scan state for lineLine: same monomorphic-visit rationale as
+    * [[Walker]]. `other` is the line whose index is probed (b). */
+  private final class LLScan(val res: LLRes, a: G, b: G) {
+    private val aOpen = !a.isClosedLine
+    private val bOpen = !b.isClosedLine
+    private val a0x = a.x(0); private val a0y = a.y(0)
+    private val a1x = a.x(a.nPoints - 1); private val a1y = a.y(a.nPoints - 1)
+    private val b0x = b.x(0); private val b0y = b.y(0)
+    private val b1x = b.x(b.nPoints - 1); private val b1y = b.y(b.nPoints - 1)
+    private val bCoords = b.coords
+    private val bNext = b.nextIdx
+    val onA = new ArrayBuffer[Long]()
+    val onB = new ArrayBuffer[Long]()
+    // current a-segment
+    var px = 0; var py = 0; var qx = 0; var qy = 0
+    var dx = 0L; var dy = 0L; var len2 = 0L
+    var sMinY = 0; var sMaxY = 0
+
+    def isBndA(x: Int, y: Int): Boolean = aOpen &&
+      ((x == a0x && y == a0y) || (x == a1x && y == a1y))
+    def isBndB(x: Int, y: Int): Boolean = bOpen &&
+      ((x == b0x && y == b0y) || (x == b1x && y == b1y))
+
+    def contactPt(vx: Int, vy: Int): Unit = {
+      res.contact = true
+      val bA = isBndA(vx, vy)
+      val bB = isBndB(vx, vy)
+      if (bA && bB) res.ab_bb = true
+      else if (bA && !bB) res.bIntBnd = true // endpoint of A interior to B...
+      else if (!bA && bB) res.aIntBnd = true
+      else res.ii0 = true
+    }
+
+    def visit(e: Int): Unit = {
+      val bi2 = bNext(e)
+      val ax = bCoords(2 * e); val ay = bCoords(2 * e + 1)
+      val bx = bCoords(2 * bi2); val by = bCoords(2 * bi2 + 1)
+      if (!(math.max(ay, by) < sMinY || math.min(ay, by) > sMaxY)) {
+        val o1 = orient(ax, ay, bx, by, px, py)
+        val o2 = orient(ax, ay, bx, by, qx, qy)
+        if (o1 == 0 && o2 == 0) {
+          val ta = dot(ax - px, ay - py, dx, dy)
+          val tb = dot(bx - px, by - py, dx, dy)
+          val lo = math.max(math.min(ta, tb), 0L)
+          val hi = math.min(math.max(ta, tb), len2)
+          if (lo < hi) { onA += lo; onB += hi; res.contact = true
+            res.ii1 = true }
+          else if (lo == hi) {
+            // endpoint touch on the shared line: the touch point is one of
+            // the b-edge endpoints (integer); find which
+            res.contact = true
+            if (ta == lo) contactPt(ax, ay) else contactPt(bx, by)
+          }
+        } else {
+          val o3 = orient(px, py, qx, qy, ax, ay)
+          val o4 = orient(px, py, qx, qy, bx, by)
+          var ev = false
+          if (o1 == 0 && segBetween(px, py, ax, ay, bx, by)) {
+            contactPt(px, py); ev = true
+          }
+          if (o2 == 0 && segBetween(qx, qy, ax, ay, bx, by)) {
+            contactPt(qx, qy); ev = true
+          }
+          if (o3 == 0 && segBetween(ax, ay, px, py, qx, qy)) {
+            contactPt(ax, ay); ev = true
+          }
+          if (o4 == 0 && segBetween(bx, by, px, py, qx, qy)) {
+            contactPt(bx, by); ev = true
+          }
+          if (!ev && o1 * o2 < 0 && o3 * o4 < 0) {
+            // transversal cross at segment interiors: interior of both
+            res.contact = true
+            res.ii0 = true
+          }
+        }
+      }
+    }
+  }
+
   def lineLine(a: G, b: G): LLRes = {
     val res = new LLRes
     if (!a.bboxIntersects(b)) return res
-    val aClosed = a.isClosedLine
-    val bClosed = b.isClosedLine
-
-    def isBndA(x: Int, y: Int): Boolean = !aClosed && (
-      (x == a.x(0) && y == a.y(0)) ||
-        (x == a.x(a.nPoints - 1) && y == a.y(a.nPoints - 1)))
-    def isBndB(x: Int, y: Int): Boolean = !bClosed && (
-      (x == b.x(0) && y == b.y(0)) ||
-        (x == b.x(b.nPoints - 1) && y == b.y(b.nPoints - 1)))
-
+    val s = new LLScan(res, a, b)
     // per-segment-of-a coverage intervals by b (for aCovByB), and contacts
     val nA = a.edgeCount
+    val bIdx = b.edgeIndex
+    val lIds = bIdx.longIds; val lMin = bIdx.longMin; val lMax = bIdx.longMax
+    val minXs = bIdx.minXs; val order = bIdx.order
     var covA = true
     var seg = 0
-    val onA = new ArrayBuffer[Long](); val onB = new ArrayBuffer[Long]()
     while (seg < nA) {
-      val pi = a.edgeP(seg); val qi = a.edgeQ(seg)
-      val px = a.x(pi); val py = a.y(pi)
+      val qi = a.edgeQ(seg)
+      val px = a.x(seg); val py = a.y(seg)
       val qx = a.x(qi); val qy = a.y(qi)
       val dx = (qx - px).toLong; val dy = (qy - py).toLong
       val len2 = dx * dx + dy * dy
-      onA.clear(); onB.clear()
+      s.onA.clear(); s.onB.clear()
       val sMinX = math.min(px, qx); val sMaxX = math.max(px, qx)
-      val sMinY = math.min(py, qy); val sMaxY = math.max(py, qy)
-      b.edgeIndex.forRange(sMinX, sMaxX) { e =>
-        val ai2 = b.edgeP(e); val bi2 = b.edgeQ(e)
-        val ax = b.x(ai2); val ay = b.y(ai2)
-        val bx = b.x(bi2); val by = b.y(bi2)
-        if (!(math.max(ay, by) < sMinY || math.min(ay, by) > sMaxY)) {
-          val o1 = orient(ax, ay, bx, by, px, py)
-          val o2 = orient(ax, ay, bx, by, qx, qy)
-          if (o1 == 0 && o2 == 0) {
-            val ta = dot(ax - px, ay - py, dx, dy)
-            val tb = dot(bx - px, by - py, dx, dy)
-            val lo = math.max(math.min(ta, tb), 0L)
-            val hi = math.min(math.max(ta, tb), len2)
-            if (lo < hi) { onA += lo; onB += hi; res.contact = true
-              res.ii1 = true }
-            else if (lo == hi) {
-              // endpoint touch on the shared line
-              res.contact = true
-              pointContact(res, lo, len2, px, py, dx, dy, isBndA, isBndB,
-                ax, ay, bx, by)
-            }
-          } else {
-            val o3 = orient(px, py, qx, qy, ax, ay)
-            val o4 = orient(px, py, qx, qy, bx, by)
-            var ev = false
-            if (o1 == 0 && segBetween(px, py, ax, ay, bx, by)) {
-              contactPt(res, px, py, isBndA, isBndB); ev = true
-            }
-            if (o2 == 0 && segBetween(qx, qy, ax, ay, bx, by)) {
-              contactPt(res, qx, qy, isBndA, isBndB); ev = true
-            }
-            if (o3 == 0 && segBetween(ax, ay, px, py, qx, qy)) {
-              contactPt(res, ax, ay, isBndA, isBndB); ev = true
-            }
-            if (o4 == 0 && segBetween(bx, by, px, py, qx, qy)) {
-              contactPt(res, bx, by, isBndA, isBndB); ev = true
-            }
-            if (!ev && o1 * o2 < 0 && o3 * o4 < 0) {
-              // transversal cross at segment interiors: interior of both
-              res.contact = true
-              res.ii0 = true
-            }
-          }
-        }
+      s.px = px; s.py = py; s.qx = qx; s.qy = qy
+      s.dx = dx; s.dy = dy; s.len2 = len2
+      s.sMinY = math.min(py, qy); s.sMaxY = math.max(py, qy)
+      var k = 0
+      while (k < lIds.length) {
+        if (lMin(k) <= sMaxX && lMax(k) >= sMinX) s.visit(lIds(k))
+        k += 1
+      }
+      var i = bIdx.lowerBound(sMinX)
+      while (i < minXs.length && minXs(i) <= sMaxX) {
+        s.visit(order(i))
+        i += 1
       }
       // coverage of this a-segment by b (most segments carry 0 or 1
       // coverage intervals — avoid the boxed sort for those)
       if (len2 > 0) {
+        val onA = s.onA; val onB = s.onB
         if (onA.isEmpty) covA = false
         else if (onA.length == 1) {
           if (!(onA(0) <= 0L && onB(0) >= len2)) covA = false
@@ -443,34 +518,61 @@ object Rel {
     res
   }
 
+  /** Collinear-overlap collector for [[coveredBy]] (monomorphic visit). */
+  private final class CovScan(outer: G) {
+    private val oCoords = outer.coords
+    private val oNext = outer.nextIdx
+    val onA = new ArrayBuffer[Long]()
+    val onB = new ArrayBuffer[Long]()
+    var px = 0; var py = 0; var qx = 0; var qy = 0
+    var dx = 0L; var dy = 0L; var len2 = 0L
+
+    def visit(e: Int): Unit = {
+      val bi2 = oNext(e)
+      val ax = oCoords(2 * e); val ay = oCoords(2 * e + 1)
+      val bx = oCoords(2 * bi2); val by = oCoords(2 * bi2 + 1)
+      val o1 = orient(ax, ay, bx, by, px, py)
+      val o2 = orient(ax, ay, bx, by, qx, qy)
+      if (o1 == 0 && o2 == 0) {
+        val ta = dot(ax - px, ay - py, dx, dy)
+        val tb = dot(bx - px, by - py, dx, dy)
+        val lo = math.max(math.min(ta, tb), 0L)
+        val hi = math.min(math.max(ta, tb), len2)
+        if (lo < hi) { onA += lo; onB += hi }
+      }
+    }
+  }
+
   /** Pure 1D coverage: every point of `inner` on `outer`. */
   def coveredBy(inner: G, outer: G): Boolean = {
     val n = inner.edgeCount
+    val s = new CovScan(outer)
+    val oIdx = outer.edgeIndex
+    val lIds = oIdx.longIds; val lMin = oIdx.longMin; val lMax = oIdx.longMax
+    val minXs = oIdx.minXs; val order = oIdx.order
     var seg = 0
-    val onA = new ArrayBuffer[Long](); val onB = new ArrayBuffer[Long]()
     while (seg < n) {
-      val pi = inner.edgeP(seg); val qi = inner.edgeQ(seg)
-      val px = inner.x(pi); val py = inner.y(pi)
+      val qi = inner.edgeQ(seg)
+      val px = inner.x(seg); val py = inner.y(seg)
       val qx = inner.x(qi); val qy = inner.y(qi)
       val dx = (qx - px).toLong; val dy = (qy - py).toLong
       val len2 = dx * dx + dy * dy
       if (len2 > 0) {
-        onA.clear(); onB.clear()
+        s.onA.clear(); s.onB.clear()
         val sMinX = math.min(px, qx); val sMaxX = math.max(px, qx)
-        outer.edgeIndex.forRange(sMinX, sMaxX) { e =>
-          val ai2 = outer.edgeP(e); val bi2 = outer.edgeQ(e)
-          val ax = outer.x(ai2); val ay = outer.y(ai2)
-          val bx = outer.x(bi2); val by = outer.y(bi2)
-          val o1 = orient(ax, ay, bx, by, px, py)
-          val o2 = orient(ax, ay, bx, by, qx, qy)
-          if (o1 == 0 && o2 == 0) {
-            val ta = dot(ax - px, ay - py, dx, dy)
-            val tb = dot(bx - px, by - py, dx, dy)
-            val lo = math.max(math.min(ta, tb), 0L)
-            val hi = math.min(math.max(ta, tb), len2)
-            if (lo < hi) { onA += lo; onB += hi }
-          }
+        s.px = px; s.py = py; s.qx = qx; s.qy = qy
+        s.dx = dx; s.dy = dy; s.len2 = len2
+        var k = 0
+        while (k < lIds.length) {
+          if (lMin(k) <= sMaxX && lMax(k) >= sMinX) s.visit(lIds(k))
+          k += 1
         }
+        var i = oIdx.lowerBound(sMinX)
+        while (i < minXs.length && minXs(i) <= sMaxX) {
+          s.visit(order(i))
+          i += 1
+        }
+        val onA = s.onA; val onB = s.onB
         if (onA.isEmpty) return false
         if (onA.length == 1) {
           if (!(onA(0) <= 0L && onB(0) >= len2)) return false
@@ -487,26 +589,5 @@ object Rel {
       seg += 1
     }
     true
-  }
-
-  private def pointContact(res: LLRes, t: Long, len2: Long,
-      px: Int, py: Int, dx: Long, dy: Long,
-      isBndA: (Int, Int) => Boolean, isBndB: (Int, Int) => Boolean,
-      eax: Int, eay: Int, ebx: Int, eby: Int): Unit = {
-    // the touch point is one of the b-edge endpoints (integer); find which
-    val vx = if (dot(eax - px, eay - py, dx, dy) == t) eax else ebx
-    val vy = if (dot(eax - px, eay - py, dx, dy) == t) eay else eby
-    contactPt(res, vx, vy, isBndA, isBndB)
-  }
-
-  private def contactPt(res: LLRes, vx: Int, vy: Int,
-      isBndA: (Int, Int) => Boolean, isBndB: (Int, Int) => Boolean): Unit = {
-    res.contact = true
-    val bA = isBndA(vx, vy)
-    val bB = isBndB(vx, vy)
-    if (bA && bB) res.ab_bb = true
-    else if (bA && !bB) res.bIntBnd = true // endpoint of A interior to B...
-    else if (!bA && bB) res.aIntBnd = true
-    else res.ii0 = true
   }
 }
