@@ -47,27 +47,20 @@ object Dist {
     d * math.cos((latA + latB) / 2.0)
   }
 
-  /** Squared euclid distance point->segment in double (int inputs). */
-  def pointSegDist2(px: Double, py: Double, ax: Double, ay: Double,
-      bx: Double, by: Double): Double = {
-    val dx = bx - ax; val dy = by - ay
-    val len2 = dx * dx + dy * dy
-    val t =
-      if (len2 <= 0) 0.0
-      else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
-    val cx = ax + t * dx; val cy = ay + t * dy
-    val ddx = px - cx; val ddy = py - cy
-    ddx * ddx + ddy * ddy
-  }
+  /** Running closest-pair accumulator over segment pairs (monomorphic
+    * visit, no per-pair tuples — this is the innermost distance-mode loop). */
+  private final class DistScan(inner: G) {
+    private val cs = inner.coords
+    private val nx = if (inner.kind == 0) null else inner.nextIdx
+    var bestD2 = Double.MaxValue
+    var bPx = 0.0; var bPy = 0.0; var bQx = 0.0; var bQy = 0.0
+    // current outer segment
+    var ax = 0.0; var ay = 0.0; var bx = 0.0; var by = 0.0
+    var sMinY = 0; var sMaxY = 0
 
-  /** Closest approach between two segments: (dist2, px, py, qx, qy) — the
-    * two closest points. Non-intersecting segments: the minimum over the
-    * four point-to-segment distances is exact. */
-  def segSegClosest(ax: Double, ay: Double, bx: Double, by: Double,
-      cx: Double, cy: Double, dx: Double, dy: Double)
-      : (Double, Double, Double, Double, Double) = {
-    def ps(px: Double, py: Double, sx: Double, sy: Double, tx: Double,
-        ty: Double): (Double, Double, Double, Double, Double) = {
+    /** point p vs segment [s,t]; updates best fields. */
+    private def ps(px: Double, py: Double, sx: Double, sy: Double,
+        tx: Double, ty: Double): Unit = {
       val ddx = tx - sx; val ddy = ty - sy
       val len2 = ddx * ddx + ddy * ddy
       val t =
@@ -75,13 +68,30 @@ object Dist {
         else math.max(0.0, math.min(1.0, ((px - sx) * ddx + (py - sy) * ddy) / len2))
       val qx = sx + t * ddx; val qy = sy + t * ddy
       val vx = px - qx; val vy = py - qy
-      (vx * vx + vy * vy, px, py, qx, qy)
+      val d2 = vx * vx + vy * vy
+      if (d2 < bestD2) { bestD2 = d2; bPx = px; bPy = py; bQx = qx; bQy = qy }
     }
-    var best = ps(ax, ay, cx, cy, dx, dy)
-    val c2 = ps(bx, by, cx, cy, dx, dy); if (c2._1 < best._1) best = c2
-    val c3 = ps(cx, cy, ax, ay, bx, by); if (c3._1 < best._1) best = c3
-    val c4 = ps(dx, dy, ax, ay, bx, by); if (c4._1 < best._1) best = c4
-    best
+
+    /** Closest approach between the current outer segment and [c,d]:
+      * non-intersecting segments' minimum is over the four point-to-segment
+      * distances. The last two calls write (inner point, outer projection)
+      * into (bP, bQ) — role-swapped vs the first two — which is fine: the
+      * meter conversion is symmetric in its two points. */
+    def consider(cx: Double, cy: Double, dx0: Double, dy0: Double): Unit = {
+      ps(ax, ay, cx, cy, dx0, dy0)
+      ps(bx, by, cx, cy, dx0, dy0)
+      ps(cx, cy, ax, ay, bx, by)
+      ps(dx0, dy0, ax, ay, bx, by)
+    }
+
+    def visit(e2: Int): Unit = {
+      val j2 = nx(e2)
+      val cx = cs(2 * e2); val cy = cs(2 * e2 + 1)
+      val dx0 = cs(2 * j2); val dy0 = cs(2 * j2 + 1)
+      val yLo = math.min(cy, dy0); val yHi = math.max(cy, dy0)
+      val yg = math.max(0, math.max(yLo - sMaxY, sMinY - yHi)).toDouble
+      if (yg * yg < bestD2) consider(cx, cy, dx0, dy0)
+    }
   }
 
   /** Min meter distance between two single geometries; 0 if intersecting.
@@ -98,24 +108,21 @@ object Dist {
     // intersection => 0 (cheap: use predicates)
     if (a.bboxIntersects(b) && Relate.relate(a, b).isect) return 0.0
 
-    var bestD2 = Double.MaxValue
-    var bPx = 0.0; var bPy = 0.0; var bQx = 0.0; var bQy = 0.0
-
     // quick seed: bbox-corner distance upper bound via closest vertices of
     // the first segments — just start from +inf and prune with x-distance.
     val (outer, inner) = if (a.edgeCount >= b.edgeCount) (a, b) else (b, a)
-
-    def segOf(g: G, e: Int): (Int, Int, Int, Int) =
-      if (g.kind == 0) (g.x(0), g.y(0), g.x(0), g.y(0))
-      else {
-        val i = g.edgeP(e); val j = g.edgeQ(e)
-        (g.x(i), g.y(i), g.x(j), g.y(j))
-      }
+    val s = new DistScan(inner)
+    val innerIdx = if (inner.kind == 0) null else inner.edgeIndex
 
     val nOut = math.max(1, outer.edgeCount)
     var e = 0
     while (e < nOut) {
-      val (ax, ay, bx, by) = segOf(outer, e)
+      var ax = 0; var ay = 0; var bx = 0; var by = 0
+      if (outer.kind == 0) { ax = outer.x(0); ay = outer.y(0); bx = ax; by = ay }
+      else {
+        val j = outer.edgeQ(e)
+        ax = outer.x(e); ay = outer.y(e); bx = outer.x(j); by = outer.y(j)
+      }
       val sMinX = math.min(ax, bx); val sMaxX = math.max(ax, bx)
       val sMinY = math.min(ay, by); val sMaxY = math.max(ay, by)
       // x-gap lower bound vs inner bbox
@@ -123,34 +130,35 @@ object Dist {
         .toDouble
       val yGap = math.max(0, math.max(inner.minY - sMaxY, sMinY - inner.maxY))
         .toDouble
-      if (xGap * xGap + yGap * yGap < bestD2) {
-        val best = math.sqrt(bestD2)
+      if (xGap * xGap + yGap * yGap < s.bestD2) {
+        val best = math.sqrt(s.bestD2)
         val reach = if (best > Int.MaxValue.toDouble) Int.MaxValue
           else best.toInt + 1
+        s.ax = ax; s.ay = ay; s.bx = bx; s.by = by
+        s.sMinY = sMinY; s.sMaxY = sMaxY
         if (inner.kind == 0) {
-          val (cx, cy, dx0, dy0) = segOf(inner, 0)
-          val (d2, p1, p2, q1, q2) = segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
-          if (d2 < bestD2) { bestD2 = d2; bPx = p1; bPy = p2; bQx = q1; bQy = q2 }
+          s.consider(inner.x(0), inner.y(0), inner.x(0), inner.y(0))
         } else {
-          inner.edgeIndex.forRange(
-            (sMinX.toLong - reach).max(Int.MinValue).toInt,
-            (sMaxX.toLong + reach).min(Int.MaxValue).toInt) { e2 =>
-            val i2 = inner.edgeP(e2); val j2 = inner.edgeQ(e2)
-            val cx = inner.x(i2); val cy = inner.y(i2)
-            val dx0 = inner.x(j2); val dy0 = inner.y(j2)
-            val yLo = math.min(cy, dy0); val yHi = math.max(cy, dy0)
-            val yg = math.max(0, math.max(yLo - sMaxY, sMinY - yHi)).toDouble
-            if (yg * yg < bestD2) {
-              val (d2, p1, p2, q1, q2) =
-                segSegClosest(ax, ay, bx, by, cx, cy, dx0, dy0)
-              if (d2 < bestD2) { bestD2 = d2; bPx = p1; bPy = p2; bQx = q1; bQy = q2 }
-            }
+          val lo = (sMinX.toLong - reach).max(Int.MinValue).toInt
+          val hi = (sMaxX.toLong + reach).min(Int.MaxValue).toInt
+          val lIds = innerIdx.longIds
+          val lMin = innerIdx.longMin; val lMax = innerIdx.longMax
+          var k = 0
+          while (k < lIds.length) {
+            if (lMin(k) <= hi && lMax(k) >= lo) s.visit(lIds(k))
+            k += 1
+          }
+          val minXs = innerIdx.minXs; val order = innerIdx.order
+          var i = innerIdx.lowerBound(lo)
+          while (i < minXs.length && minXs(i) <= hi) {
+            s.visit(order(i))
+            i += 1
           }
         }
       }
       e += 1
     }
-    if (bestD2 == Double.MaxValue) Double.MaxValue
-    else metersPairD(bPx, bPy, bQx, bQy)
+    if (s.bestD2 == Double.MaxValue) Double.MaxValue
+    else metersPairD(s.bPx, s.bPy, s.bQx, s.bQy)
   }
 }

@@ -291,20 +291,45 @@ object Rel {
     * Interior is the intersection of all incident ring wedges (shells CCW,
     * holes CW => interior always on the left of the directed boundary). */
   def dirClass(area: G, vx: Int, vy: Int, dx: Long, dy: Long): Int = {
+    val s = new DirScan(area, vx, vy, dx, dy)
+    val idx = area.edgeIndex
+    val lIds = idx.longIds; val lMin = idx.longMin; val lMax = idx.longMax
+    var k = 0
+    while (k < lIds.length) {
+      if (lMin(k) <= vx && lMax(k) >= vx) s.visit(lIds(k))
+      k += 1
+    }
+    val minXs = idx.minXs; val order = idx.order
+    var i = idx.lowerBound(vx)
+    while (i < minXs.length && minXs(i) <= vx) {
+      s.visit(order(i))
+      i += 1
+    }
+    if (!s.anyWedge) locate(vx, vy, area) // not actually on boundary
+    else if (s.anyOn) ON
+    else if (s.allIn) IN
+    else OUT
+  }
+
+  /** Wedge accumulator for [[dirClass]] (monomorphic visit). */
+  private final class DirScan(area: G, vx: Int, vy: Int, dx: Long, dy: Long) {
     var anyWedge = false
     var allIn = true
     var anyOn = false
-    area.edgeIndex.forRange(vx, vx) { e =>
-      val ai = area.edgeP(e); val bi = area.edgeQ(e)
-      val ax = area.x(ai); val ay = area.y(ai)
-      val bx = area.x(bi); val by = area.y(bi)
+    private val cs = area.coords
+    private val nx = area.nextIdx
+
+    def visit(e: Int): Unit = {
+      val bi = nx(e)
+      val ax = cs(2 * e); val ay = cs(2 * e + 1)
+      val bx = cs(2 * bi); val by = cs(2 * bi + 1)
       // consider only the edge starting at its p-vertex == v, or v strictly
       // inside the edge; this gives each incidence exactly once (the edge
       // ENDING at v is handled as the wedge of its successor start).
       if (ax == vx && ay == vy) {
         // vertex wedge: incoming edge is the ring predecessor
-        val prei = ringPred(area, ai)
-        val prx = area.x(prei); val pry = area.y(prei)
+        val prei = ringPred(area, e)
+        val prx = cs(2 * prei); val pry = cs(2 * prei + 1)
         val oxx = (bx - vx).toLong; val oyy = (by - vy).toLong // outgoing O
         val pxx = (prx - vx).toLong; val pyy = (pry - vy).toLong // back = -I
         anyWedge = true
@@ -327,10 +352,6 @@ object Rel {
         }
       }
     }
-    if (!anyWedge) locate(vx, vy, area) // not actually on boundary
-    else if (anyOn) ON
-    else if (allIn) IN
-    else OUT
   }
 
   /** Ring predecessor vertex index of vertex i. */

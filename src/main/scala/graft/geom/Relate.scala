@@ -51,13 +51,7 @@ object Relate {
     * (closed line: no boundary, OGC mod-2). */
   def pointLine(a: G, b: G): PairRel = {
     val px = a.x(0); val py = a.y(0)
-    var on = false
-    b.edgeIndex.forRange(px, px) { e =>
-      if (!on) {
-        val i = b.edgeP(e); val j = b.edgeQ(e)
-        if (onSeg(px, py, b.x(i), b.y(i), b.x(j), b.y(j))) on = true
-      }
-    }
+    val on = ptOnLine(px, py, b)
     if (!on) return PairRel(false, false, false, false, false, false, false, false, false)
     val closed = b.isClosedLine
     val n = b.nPoints
@@ -247,13 +241,7 @@ object Relate {
 
   private def de9imLinePoint(l: G, p: G): Mat = {
     val px = p.x(0); val py = p.y(0)
-    var on = false
-    l.edgeIndex.forRange(px, px) { e =>
-      if (!on) {
-        val i = l.edgeP(e); val j = l.edgeQ(e)
-        if (onSeg(px, py, l.x(i), l.y(i), l.x(j), l.y(j))) on = true
-      }
-    }
+    val on = ptOnLine(px, py, l)
     val closed = l.isClosedLine
     val n = l.nPoints
     val atEnd = !closed && on && ((px == l.x(0) && py == l.y(0)) ||
@@ -287,15 +275,33 @@ object Relate {
       2)
   }
 
+  /** Point-on-curve probe shared by the point kinds (manual two-tier index
+    * iteration — see EdgeIndex.forRange on why not the closure form). */
   def ptOnLine(px: Int, py: Int, l: G): Boolean = {
-    var on = false
-    l.edgeIndex.forRange(px, px) { e =>
-      if (!on) {
-        val i = l.edgeP(e); val j = l.edgeQ(e)
-        if (onSeg(px, py, l.x(i), l.y(i), l.x(j), l.y(j))) on = true
+    val idx = l.edgeIndex
+    val cs = l.coords
+    val nx = l.nextIdx
+    val lIds = idx.longIds; val lMin = idx.longMin; val lMax = idx.longMax
+    var k = 0
+    while (k < lIds.length) {
+      val e = lIds(k)
+      if (lMin(k) <= px && lMax(k) >= px) {
+        val j = nx(e)
+        if (onSeg(px, py, cs(2 * e), cs(2 * e + 1), cs(2 * j), cs(2 * j + 1)))
+          return true
       }
+      k += 1
     }
-    on
+    val minXs = idx.minXs; val order = idx.order
+    var i = idx.lowerBound(px)
+    while (i < minXs.length && minXs(i) <= px) {
+      val e = order(i)
+      val j = nx(e)
+      if (onSeg(px, py, cs(2 * e), cs(2 * e + 1), cs(2 * j), cs(2 * j + 1)))
+        return true
+      i += 1
+    }
+    false
   }
 
   /** M(line a, area b). The EB cell (ext(line) x bnd(area)) is F in the
