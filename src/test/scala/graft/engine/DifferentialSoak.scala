@@ -31,12 +31,21 @@ object DifferentialSoak {
         .toSet
     }
 
+    import spark.implicits._
     var bad = false
+    // third leg: NON-SELF side discipline (sides assigned by gid hash) —
+    // exercises the fused kernel's side ordering + the general path's side
+    // predicate beyond the fixed brandenburg fixtures
     for (seed <- seeds;
          cfg0 <- Seq(SpatialConfig(dupMinPoints = -1),
            SpatialConfig(mode = "distance", withinDist = 2500,
-             dupMinPoints = -1))) {
-      val geoms = SynthGeo.dataset(spark, n, seed).cache()
+             dupMinPoints = -1),
+           SpatialConfig(selfJoin = false, dupMinPoints = -1))) {
+      val base = SynthGeo.dataset(spark, n, seed)
+      val geoms = (
+        if (cfg0.selfJoin) base
+        else base.map(g => g.copy(side = math.abs(g.gid.hashCode) % 2))
+      ).cache()
       val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms, cfg0)
       val dist = cfg.mode == "distance"
       val fused = rels(SpatialJoin.aggregateFromPre(spark,
@@ -46,7 +55,8 @@ object DifferentialSoak {
           SpatialJoin.candidates(spark, geoms, cfg, lvls), cfg),
         cfg, hadRefs = false, mayHaveBigMultis = false), dist)
       val ok = fused == general && fused.nonEmpty
-      println(s"[soak] seed=$seed n=$n mode=${cfg0.mode} rels=${fused.size} " +
+      val tag = if (cfg0.selfJoin) cfg0.mode else s"${cfg0.mode}-nonself"
+      println(s"[soak] seed=$seed n=$n mode=$tag rels=${fused.size} " +
         (if (ok) "OK" else "DIVERGED"))
       if (!ok) {
         bad = true
