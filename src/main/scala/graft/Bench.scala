@@ -47,6 +47,10 @@ object Bench {
     * session's heap residue, which poisons both the headline and the
     * N-vs-4N scaling ratio. Falls back to an in-process run if the fork
     * fails (e.g. a stripped runtime image). */
+  /** CPU core-seconds of the last successful forked leg (engine-intrinsic
+    * scaling signal; see SpatialChild). -1 when unavailable. */
+  private var lastForkCpu: Double = -1.0
+
   private def forkedRun(nGeoms: Long, cores: Int, shuffleParts: Int,
       phase: String = "full"): (Double, Long) = {
     val javaBin = new java.io.File(new java.io.File(
@@ -66,10 +70,13 @@ object Bench {
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       val rc = p.waitFor()
-      val m = "\\[child\\] sec=([0-9.]+) rels=([0-9]+)".r
+      val m = "\\[child\\] sec=([0-9.]+) rels=([0-9]+)( cpu=([0-9.]+))?".r
         .findFirstMatchIn(out)
       m match {
-        case Some(g) if rc == 0 => (g.group(1).toDouble, g.group(2).toLong)
+        case Some(g) if rc == 0 =>
+          lastForkCpu =
+            if (g.group(4) != null) g.group(4).toDouble else -1.0
+          (g.group(1).toDouble, g.group(2).toLong)
         case _ =>
           System.err.println(s"[bench] forked leg failed rc=$rc; " +
             s"tail: ${out.takeRight(400)}")
@@ -217,8 +224,10 @@ object Bench {
     // two runs per level and INTERLEAVE the levels (low,high,low,high) so
     // a drifting noise window cannot skew the ratio systematically; 4x
     // partitions per core pack short tasks better at low core counts
-    def oneRun(cores: Int): Double =
-      forkedRun(nScale, cores, shuffleParts = cores * 4)._1
+    def oneRun(cores: Int): (Double, Double) = {
+      val s = forkedRun(nScale, cores, shuffleParts = cores * 4)._1
+      (s, lastForkCpu)
+    }
     // Interleaved reps, min per level. Host noise only ever INFLATES a
     // wall time, so min-of-N estimates the true cost and more reps only
     // sharpen it; start with 2 rep pairs and add up to 2 more only while
@@ -229,19 +238,25 @@ object Bench {
     val scaleBudget =
       sys.env.getOrElse("GRAFT_SCALE_BUDGET_SEC", "600").toDouble
     val scaleT0 = System.nanoTime()
-    val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def effSoFar = (lows.min / highs.min) / (nHigh.toDouble / nLow)
+    val lows = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val highs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def effSoFar = (lows.map(_._1).min / highs.map(_._1).min) /
+      (nHigh.toDouble / nLow)
     def scaleSec = (System.nanoTime() - scaleT0) / 1e9
     var rep = 0
     while (rep < 2 || (rep < 4 && effSoFar < 0.8 &&
-        scaleSec + lows.min + highs.min < scaleBudget)) {
+        scaleSec + lows.map(_._1).min + highs.map(_._1).min < scaleBudget)) {
       lows += oneRun(nLow); highs += oneRun(nHigh); rep += 1
     }
-    val tLow = lows.min
-    val tHigh = highs.min
+    val tLow = lows.map(_._1).min
+    val tHigh = highs.map(_._1).min
+    // CPU totals from the min-wall rep per level: an ideal engine does the
+    // SAME cpu work at both levels; cpu_high/cpu_low > 1 is contention
+    // inflation paid on this shared box, not engine serialization
+    val cpuLow = lows.minBy(_._1)._2
+    val cpuHigh = highs.minBy(_._1)._2
     val repsJson = lows.zip(highs)
-      .map { case (l, h) => s"[$l,$h]" }.mkString("[", ",", "]")
+      .map { case (l, h) => s"[${l._1},${h._1}]" }.mkString("[", ",", "]")
 
     // skew leg: one continent polygon + the point cloud — proves the
     // multi-level cover handles planet-scale geometries through the shuffle
@@ -270,6 +285,8 @@ object Bench {
         s""""skew_sec":$tSkew,"skew_relations":$skewRels,""" +
         s""""knn_sec":$tKnn,"knn_rows":$knnRows,""" +
         s""""scale_reps":$repsJson,""" +
+        s""""cpu_low_core_s":${math.rint(cpuLow * 10) / 10},""" +
+        s""""cpu_high_core_s":${math.rint(cpuHigh * 10) / 10},""" +
         // math.rint, not the f-interpolator: %f is locale-dependent and a
         // comma decimal separator would corrupt the JSON line
         s""""host_bw_gbs":${math.rint(bwGbs * 10) / 10},""" +

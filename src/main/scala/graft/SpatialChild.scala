@@ -34,6 +34,19 @@ object SpatialChild {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    // total executor CPU across stages: the engine-intrinsic scaling signal
+    // (wall-time gaps between parallelism levels on this shared box are
+    // dominated by the memory bus; CPU inflation isolates the contention
+    // paid inside the engine). Reset after warmup so only the measured
+    // window counts.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+      })
     val refs = spark.emptyDataset[graft.engine.RefEdge]
     val (sec, rels) =
       if (phase == "knn") {
@@ -44,6 +57,7 @@ object SpatialChild {
           (col("id") * 104729 % 2000001 - 1000000).as("y"))
         graft.engine.Knn.pointKnn(spark, mkPts(20000),
           col("gid") % 100 === 0, 3).count() // warmup
+        cpuNs.set(0L)
         val t0 = System.nanoTime()
         val c = graft.engine.Knn.pointKnn(spark, mkPts(n),
           col("gid") % 1000 === 0, 3).count()
@@ -60,11 +74,15 @@ object SpatialChild {
         // README.md:7-9); run() reuses the cache instead of re-persisting
         geoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .count()
+        cpuNs.set(0L)
         val t0 = System.nanoTime()
         val c = SpatialJoin.run(spark, geoms, refs, SpatialConfig()).count()
         ((System.nanoTime() - t0) / 1e9, c)
       }
-    println(s"[child] sec=$sec rels=$rels")
+    // stage-completion events arrive on the async listener bus; give it a
+    // beat before reading the total (same approach as SpatialBench)
+    Thread.sleep(500)
+    println(s"[child] sec=$sec rels=$rels cpu=${cpuNs.get() / 1e9}")
     spark.stop()
   }
 }
