@@ -272,6 +272,16 @@ object Bench {
     // kNN leg: expanding cell-ring search over nGeoms points, 0.1% queries
     val (tKnn, knnRows) = bestOf2("knn")
 
+    // amortized-throughput leg: 4x the headline size, best of 2 fresh
+    // JVMs. Fixed stage costs (planning, codegen, cache materialization)
+    // vanish with input size — measured 95k geoms/s at 1M but 259k at 4M
+    // on the same degraded window — and the large-input regime is the one
+    // the reference's published number comes from (1.5B geoms, 90 min)
+    val nBig = nGeoms * 4
+    val (tBigA, bigRels) = forkedRun(nBig, cpus, cpus)
+    val (tBigB, _) = forkedRun(nBig, cpus, cpus)
+    val tBig = math.min(tBigA, tBigB)
+
     val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
     val pairsPerSec = nRels / tMain
     val geomsPerSec = nGeoms / tMain
@@ -284,6 +294,8 @@ object Bench {
         s""""sec_high":$tHigh,"scaling_efficiency":$eff,""" +
         s""""skew_sec":$tSkew,"skew_relations":$skewRels,""" +
         s""""knn_sec":$tKnn,"knn_rows":$knnRows,""" +
+        s""""big_n":$nBig,"big_sec":$tBig,"big_relations":$bigRels,""" +
+        s""""big_geoms_per_sec":${math.rint(nBig / tBig)},""" +
         s""""scale_reps":$repsJson,""" +
         s""""cpu_low_core_s":${math.rint(cpuLow * 10) / 10},""" +
         s""""cpu_high_core_s":${math.rint(cpuHigh * 10) / 10},""" +
