@@ -111,11 +111,20 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     // eucl 4940.41 merc-m, and EVERY plausible conversion variant —
     // scale factor at the pair midpoint, mean of the two latitudes
     // (util webMercMeterDist's documented shape), either endpoint, bbox
-    // centers; int-snapped or float-cast closest points; haversine /
-    // equirectangular on the recovered lat/lng — lands in 3306.5–3306.7,
-    // never 3306.36x. The remaining 0.19 m (0.006%) lives inside the util
-    // submodule's XSortedPolygon withinDist internals, which are absent
-    // from the reference checkout (no egress to fetch them). Asserted to
+    // centers/corners, ring centroids; int-snapped or float-cast closest
+    // points (Sweeper::meterDist casts coords to FLOAT after /PREC,
+    // Sweeper.cpp:4014-4020, and util projectOn returns int-truncated
+    // Point<int32_t> projections); round-instead-of-trunc projection;
+    // haversine / equirectangular on the recovered lat/lng; WGS84
+    // ellipsoidal N-S/E-W scale split — lands in 3305.2–3308.7 with the
+    // quantized variants clustered at 3306.46–3306.64, never 3306.36x.
+    // Decisive detail: 3306.36 is BELOW the exact minimum over ALL
+    // candidate point pairs of both boundaries under the documented
+    // meter rule, so no per-pair conversion of these geometries can
+    // produce it — the value must come from an approximation inside the
+    // util submodule's XSortedPolygon withinDist (e.g. a maxSegLen
+    // chunk-box corner used as a lower bound), and that code is absent
+    // from the reference checkout (no egress to fetch it). Asserted to
     // 0.25 m; the engine uses the documented mean-latitude rule
     // (Dist.metersPairD) with exact double interior projections.
     val rels = relations("freiburg", "dist5000")
