@@ -895,21 +895,17 @@ object SpatialJoin {
 
   import org.apache.spark.sql.types._
 
+  /** Packed partial-state row: the 8 flag booleans, maxSubA/maxSubB and
+    * nA/nB live in ONE long (the fused path caps nSubs at 63, so every
+    * field fits a byte) — 9 columns instead of 20 keeps the writeState
+    * projection, the merge shuffle, and the merge-stage decode narrow.
+    * Layout: bits 0-7 flags (isect, anyTouch, anyNotTouch, anyLLCross,
+    * anyLAab, anyLAba, anyOverlap, anyNotCross), 8-15 maxSubA, 16-23
+    * maxSubB, 24-31 nA, 32-39 nB. */
   private val aggRowSchema = StructType(Seq(
     StructField("gidA", StringType, nullable = false),
     StructField("gidB", StringType, nullable = false),
-    StructField("nA", IntegerType, nullable = false),
-    StructField("nB", IntegerType, nullable = false),
-    StructField("maxSubA", IntegerType, nullable = false),
-    StructField("maxSubB", IntegerType, nullable = false),
-    StructField("isect", BooleanType, nullable = false),
-    StructField("anyTouch", BooleanType, nullable = false),
-    StructField("anyNotTouch", BooleanType, nullable = false),
-    StructField("anyLLCross", BooleanType, nullable = false),
-    StructField("anyLAab", BooleanType, nullable = false),
-    StructField("anyLAba", BooleanType, nullable = false),
-    StructField("anyOverlap", BooleanType, nullable = false),
-    StructField("anyNotCross", BooleanType, nullable = false),
+    StructField("packed", LongType, nullable = false),
     StructField("covAM", LongType, nullable = false),
     StructField("covBM", LongType, nullable = false),
     StructField("contAM", LongType, nullable = false),
@@ -921,6 +917,82 @@ object SpatialJoin {
     StructField("gidA", StringType, nullable = false),
     StructField("gidB", StringType, nullable = false),
     StructField("dist", DoubleType, nullable = false)))
+
+  private[engine] val relRowSchema = StructType(Seq(
+    StructField("a_id", StringType, nullable = false),
+    StructField("predicate", StringType, nullable = false),
+    StructField("b_id", StringType, nullable = false)))
+
+  private val distRelSchema = StructType(Seq(
+    StructField("a_id", StringType, nullable = false),
+    StructField("dist", DoubleType, nullable = false),
+    StructField("b_id", StringType, nullable = false)))
+
+  /** 14-slot relation emission mask from a pair's final state — the exact
+    * Scala port of [[verdictCols]] + [[relsFrom]]'s slot gating (slot 2k =
+    * predicate k A->B, slot 2k+1 = B->A, emitted only in self mode).
+    * States exist only for intersecting pairs, so the mask is never 0. */
+  private def emissionMask(s: AggState, bothDirs: Boolean): Int = {
+    val covCntA = java.lang.Long.bitCount(s.covAM)
+    val covCntB = java.lang.Long.bitCount(s.covBM)
+    val coversAB = covCntB == s.nB
+    val coversBA = covCntA == s.nA
+    val containsAB = java.lang.Long.bitCount(s.contBM) == s.nB
+    val containsBA = java.lang.Long.bitCount(s.contAM) == s.nA
+    val equalsR = s.nA == s.nB &&
+      java.lang.Long.bitCount(s.eqAM) == s.nA &&
+      java.lang.Long.bitCount(s.eqBM) == s.nB
+    val touches = s.anyTouch && !s.anyNotTouch
+    val llCrossKept = s.anyLLCross && !s.anyNotCross
+    val partialCov = (covCntA > 0 && covCntA < s.nA) ||
+      (covCntB > 0 && covCntB < s.nB)
+    val overlaps = (s.anyOverlap || partialCov) && !coversAB && !coversBA &&
+      !s.anyLLCross
+    var m = 0
+    if (s.isect) { m |= 1; if (bothDirs) m |= 2 }
+    if (equalsR) { m |= 1 << 2; if (bothDirs) m |= 1 << 3 }
+    if (coversAB) m |= 1 << 4
+    if (coversBA && bothDirs) m |= 1 << 5
+    if (containsAB) m |= 1 << 6
+    if (containsBA && bothDirs) m |= 1 << 7
+    if (touches) { m |= 1 << 8; if (bothDirs) m |= 1 << 9 }
+    if (llCrossKept || s.anyLAab) m |= 1 << 10
+    if ((llCrossKept || s.anyLAba) && bothDirs) m |= 1 << 11
+    if (overlaps) { m |= 1 << 12; if (bothDirs) m |= 1 << 13 }
+    m
+  }
+
+  /** Expands (a, b, emission mask) / (a, b, dist) into final relation
+    * InternalRows, one per writeNext() call, reusing one projection buffer.
+    * Instantiate per partition. */
+  private final class RelEmitter(distMode: Boolean) {
+    import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
+    import org.apache.spark.unsafe.types.UTF8String
+    private val schema = if (distMode) distRelSchema else relRowSchema
+    private val out = new SpecificInternalRow(schema)
+    private val proj = UnsafeProjection.create(schema)
+    private val preds = Array("intersects", "equals", "covers", "contains",
+      "touches", "crosses", "overlaps").map(UTF8String.fromString)
+    private var mask = 0
+    private var a: UTF8String = _
+    private var b: UTF8String = _
+    def load(a0: UTF8String, b0: UTF8String, m: Int): Unit = {
+      a = a0; b = b0; mask = m
+    }
+    def loadDist(a0: UTF8String, b0: UTF8String, d: Double,
+        bothDirs: Boolean): Unit = {
+      a = a0; b = b0; out.setDouble(1, d); mask = if (bothDirs) 3 else 1
+    }
+    def hasRow: Boolean = mask != 0
+    def writeNext(): org.apache.spark.sql.catalyst.InternalRow = {
+      val slot = java.lang.Integer.numberOfTrailingZeros(mask)
+      mask &= mask - 1
+      if ((slot & 1) == 0) { out.update(0, a); out.update(2, b) }
+      else { out.update(0, b); out.update(2, a) }
+      if (!distMode) out.update(1, preds(slot >> 1))
+      proj(out)
+    }
+  }
 
   /** One buffered sub-geometry within a cell group. cellFull* memoize the
     * "this cell is entirely interior to the polygon" decide-shortcut test
@@ -966,6 +1038,16 @@ object SpatialJoin {
     var covAM = 0L; var covBM = 0L; var contAM = 0L; var contBM = 0L
     var eqAM = 0L; var eqBM = 0L
     var dist = Double.MaxValue
+
+    def reset(): Unit = {
+      nA = 0; nB = 0; maxSubA = 0; maxSubB = 0
+      isect = false; anyTouch = false; anyNotTouch = false
+      anyLLCross = false; anyLAab = false; anyLAba = false
+      anyOverlap = false; anyNotCross = false
+      covAM = 0L; covBM = 0L; contAM = 0L; contBM = 0L
+      eqAM = 0L; eqBM = 0L
+      dist = Double.MaxValue
+    }
   }
 
   private final class PKey(
@@ -977,11 +1059,53 @@ object SpatialJoin {
     }
   }
 
+  /** See aggRowSchema for the packed layout. */
+  private def packState(s: AggState): Long = {
+    var p = 0L
+    if (s.isect) p |= 1L
+    if (s.anyTouch) p |= 2L
+    if (s.anyNotTouch) p |= 4L
+    if (s.anyLLCross) p |= 8L
+    if (s.anyLAab) p |= 16L
+    if (s.anyLAba) p |= 32L
+    if (s.anyOverlap) p |= 64L
+    if (s.anyNotCross) p |= 128L
+    p | s.maxSubA.toLong << 8 | s.maxSubB.toLong << 16 |
+      s.nA.toLong << 24 | s.nB.toLong << 32
+  }
+
+  /** OR-merge one packed partial row (see aggRowSchema) into `s`. nA/nB
+    * are identical across rows of a pair; maxSub and the flag/mask fields
+    * are monotone, so max/OR reproduces the old groupBy agg exactly. */
+  private def mergePacked(s: AggState, p: Long,
+      r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    if ((p & 1L) != 0) s.isect = true
+    if ((p & 2L) != 0) s.anyTouch = true
+    if ((p & 4L) != 0) s.anyNotTouch = true
+    if ((p & 8L) != 0) s.anyLLCross = true
+    if ((p & 16L) != 0) s.anyLAab = true
+    if ((p & 32L) != 0) s.anyLAba = true
+    if ((p & 64L) != 0) s.anyOverlap = true
+    if ((p & 128L) != 0) s.anyNotCross = true
+    val mA = ((p >>> 8) & 0xff).toInt
+    val mB = ((p >>> 16) & 0xff).toInt
+    val nA = ((p >>> 24) & 0xff).toInt
+    val nB = ((p >>> 32) & 0xff).toInt
+    if (mA > s.maxSubA) s.maxSubA = mA
+    if (mB > s.maxSubB) s.maxSubB = mB
+    if (nA > s.nA) s.nA = nA
+    if (nB > s.nB) s.nB = nB
+    s.covAM |= r.getLong(3); s.covBM |= r.getLong(4)
+    s.contAM |= r.getLong(5); s.contBM |= r.getLong(6)
+    s.eqAM |= r.getLong(7); s.eqBM |= r.getLong(8)
+  }
+
   /** Fused pair generation + refinement + partial aggregation. Emits
     * agg1-shaped partial rows (predicates) or (gidA,gidB,dist) partials
     * (distance); [[aggregateFromPre]] merges them. */
   def fusedPairs(spark: SparkSession, geoms: Dataset[SubGeom],
-      cfg: SpatialConfig, activeLevels: Seq[Int] = null): DataFrame = {
+      cfg: SpatialConfig, activeLevels: Seq[Int] = null,
+      direct: Boolean = false): DataFrame = {
     val (cfg2, lvls) =
       if (activeLevels != null && cfg.cellSize > 0) (cfg, activeLevels)
       else { val (c, l, _) = coverSpec(geoms, cfg); (c, l) }
@@ -1004,7 +1128,15 @@ object SpatialJoin {
       spark.sparkContext.longAccumulator(s"graft.relateN.k${i / 3}${i % 3}"))
     lastKindNs = accKindNs; lastKindN = accKindN
     val w2 = WORLD_W / 2
-    val schema = if (distMode) distRowSchema else aggRowSchema
+    // direct mode (all-single-sub input, decided by run()'s stats pass):
+    // every pair is complete after its one processPair (first-common-cell +
+    // unique level), so the drain emits FINAL relation rows and the merge
+    // shuffle never exists
+    val schema =
+      if (direct) { if (distMode) distRelSchema else relRowSchema }
+      else if (distMode) distRowSchema
+      else aggRowSchema
+    val stateSchema = if (distMode) distRowSchema else aggRowSchema
 
     val src = exploded.select(col("cell"), col("gid"), col("side"),
       col("subId"), col("nSubs"), col("kind"), col("coords"),
@@ -1059,8 +1191,8 @@ object SpatialJoin {
           import scala.jdk.CollectionConverters._
           m.values().iterator().asScala.flatMap(_.iterator)
         }
-      val proj = UnsafeProjection.create(schema)
-      val out = new SpecificInternalRow(schema)
+      val proj = UnsafeProjection.create(stateSchema)
+      val out = new SpecificInternalRow(stateSchema)
       val aggMap = new java.util.HashMap[PKey, AggState](1 << 12)
       // split buffers: a pair is examined only at level max(nlvlA, nlvlB),
       // so at least one side must be NATIVE to the current level —
@@ -1320,15 +1452,10 @@ object SpatialJoin {
         out.update(1, k.b)
         if (distMode) out.setDouble(2, s.dist)
         else {
-          out.setInt(2, s.nA); out.setInt(3, s.nB)
-          out.setInt(4, s.maxSubA); out.setInt(5, s.maxSubB)
-          out.setBoolean(6, s.isect); out.setBoolean(7, s.anyTouch)
-          out.setBoolean(8, s.anyNotTouch); out.setBoolean(9, s.anyLLCross)
-          out.setBoolean(10, s.anyLAab); out.setBoolean(11, s.anyLAba)
-          out.setBoolean(12, s.anyOverlap); out.setBoolean(13, s.anyNotCross)
-          out.setLong(14, s.covAM); out.setLong(15, s.covBM)
-          out.setLong(16, s.contAM); out.setLong(17, s.contBM)
-          out.setLong(18, s.eqAM); out.setLong(19, s.eqBM)
+          out.setLong(2, packState(s))
+          out.setLong(3, s.covAM); out.setLong(4, s.covBM)
+          out.setLong(5, s.contAM); out.setLong(6, s.contBM)
+          out.setLong(7, s.eqAM); out.setLong(8, s.eqBM)
         }
         proj(out)
       }
@@ -1343,7 +1470,7 @@ object SpatialJoin {
       // early drains is marginal
       val drainCap =
         sys.env.getOrElse("GRAFT_DRAIN_CAP", (1 << 16).toString).toInt
-      new Iterator[InternalRow] {
+      val pairIt = new Iterator[java.util.Map.Entry[PKey, AggState]] {
         private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
         private def pump(): Unit = {
           while ((drain == null || !drain.hasNext) && rows.hasNext) {
@@ -1378,8 +1505,29 @@ object SpatialJoin {
           if (drain == null) drain = aggMap.entrySet().iterator()
         }
         override def hasNext: Boolean = { pump(); drain.hasNext }
+        override def next(): java.util.Map.Entry[PKey, AggState] = {
+          pump(); drain.next()
+        }
+      }
+      if (!direct) new Iterator[InternalRow] {
+        override def hasNext: Boolean = pairIt.hasNext
         override def next(): InternalRow = {
-          pump(); val e = drain.next(); writeState(e.getKey, e.getValue)
+          val e = pairIt.next(); writeState(e.getKey, e.getValue)
+        }
+      } else {
+        val em = new RelEmitter(distMode)
+        new Iterator[InternalRow] {
+          private def fill(): Unit =
+            while (!em.hasRow && pairIt.hasNext) {
+              val e = pairIt.next()
+              if (distMode)
+                em.loadDist(e.getKey.a, e.getKey.b, e.getValue.dist, selfJoin)
+              else
+                em.load(e.getKey.a, e.getKey.b,
+                  emissionMask(e.getValue, selfJoin))
+            }
+          override def hasNext: Boolean = { fill(); em.hasRow }
+          override def next(): InternalRow = { fill(); em.writeNext() }
         }
       }
     }
@@ -1401,24 +1549,60 @@ object SpatialJoin {
         else fwd
       return rels.distinct()
     }
-    val agg1 = pre.groupBy(col("gidA"), col("gidB")).agg(
-      max(col("nA")).as("nA"), max(col("nB")).as("nB"),
-      max(col("maxSubA")).as("maxSubA"), max(col("maxSubB")).as("maxSubB"),
-      max(col("isect")).as("isect"),
-      max(col("anyTouch")).as("anyTouch"),
-      max(col("anyNotTouch")).as("anyNotTouch"),
-      max(col("anyLLCross")).as("anyLLCross"),
-      max(col("anyLAab")).as("anyLAab"),
-      max(col("anyLAba")).as("anyLAba"),
-      max(col("anyOverlap")).as("anyOverlap"),
-      max(col("anyNotCross")).as("anyNotCross"),
-      expr("bit_or(covAM)").as("covAM"),
-      expr("bit_or(covBM)").as("covBM"),
-      expr("bit_or(contAM)").as("contAM"),
-      expr("bit_or(contBM)").as("contBM"),
-      expr("bit_or(eqAM)").as("eqAM"),
-      expr("bit_or(eqBM)").as("eqBM"))
-    relsFrom(fastVerdicts(agg1), cfg, dedup = false)
+    // one hash exchange on the pair key, then a streaming merge: rows of
+    // complete pairs (nA==1 && nB==1 — exactly one kernel row exists for
+    // them) expand to relation rows with NO map insert; only pairs with a
+    // multi-sub side (minority class) are merged in a map and finalized
+    // when the partition's input is exhausted. Replaces the 18-expression
+    // two-stage hash agg + verdict projection + explode.
+    val selfJoin = cfg.selfJoin
+    val parted = pre.repartition(col("gidA"), col("gidB"))
+    val rdd = parted.queryExecution.toRdd.mapPartitions { rows =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      val em = new RelEmitter(false)
+      val pmap = new java.util.HashMap[PKey, AggState](1 << 10)
+      val probe = new PKey(null, null)
+      val tmp = new AggState
+      new Iterator[InternalRow] {
+        private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
+        private def fill(): Unit = {
+          while (!em.hasRow) {
+            if (drain == null) {
+              if (!rows.hasNext) { drain = pmap.entrySet().iterator() }
+              else {
+                val r = rows.next()
+                val p = r.getLong(2)
+                if ((p >>> 24 & 0xff) == 1 && (p >>> 32 & 0xff) == 1) {
+                  tmp.reset()
+                  mergePacked(tmp, p, r)
+                  // em borrows the row's UTF8Strings; the input row is not
+                  // advanced until the emitter drains, and writeNext copies
+                  // the bytes into the projection buffer
+                  em.load(r.getUTF8String(0), r.getUTF8String(1),
+                    emissionMask(tmp, selfJoin))
+                } else {
+                  probe.a = r.getUTF8String(0); probe.b = r.getUTF8String(1)
+                  var s = pmap.get(probe)
+                  if (s == null) {
+                    s = new AggState
+                    pmap.put(new PKey(probe.a.clone(), probe.b.clone()), s)
+                  }
+                  mergePacked(s, p, r)
+                }
+              }
+            } else {
+              if (!drain.hasNext) return
+              val e = drain.next()
+              em.load(e.getKey.a, e.getKey.b,
+                emissionMask(e.getValue, selfJoin))
+            }
+          }
+        }
+        override def hasNext: Boolean = { fill(); em.hasRow }
+        override def next(): InternalRow = { fill(); em.writeNext() }
+      }
+    }
+    org.apache.spark.sql.GraftInternal.internalDf(spark, rdd, relRowSchema)
   }
 
   /** Full pipeline: sub-geometries (+ refs) -> relations DataFrame. */
@@ -1521,8 +1705,13 @@ object SpatialJoin {
       }.distinct.sorted
 
     if (edges.isEmpty && !bigMultis && cfg.mode != "de9im") {
-      // dominant case: fused kernel (see fusedPairs)
-      return aggregateFromPre(spark, fusedPairs(spark, g, cfgCs, lvls), cfgCs)
+      // dominant case: fused kernel (see fusedPairs). When the stats pass
+      // proves the input is entirely single-sub, every pair completes
+      // inside the kernel (one processPair globally per pair), so the
+      // kernel emits FINAL relation rows and no merge shuffle exists
+      val allSingle = st.isNullAt(2) || st.getInt(2) <= 1
+      return if (allSingle) fusedPairs(spark, g, cfgCs, lvls, direct = true)
+      else aggregateFromPre(spark, fusedPairs(spark, g, cfgCs, lvls), cfgCs)
     }
     {
       val cands = candidates(spark, g, cfgCs, lvls)

@@ -63,6 +63,18 @@ object DifferentialSoak {
         println(s"  fusedOnly=${(fused -- general).take(5)}")
         println(s"  generalOnly=${(general -- fused).take(5)}")
       }
+      // fourth leg: run()-level (SynthGeo is all-single-sub, so run() takes
+      // the DIRECT kernel emission path — no merge stage) vs general
+      val direct = rels(SpatialJoin.run(spark, geoms,
+        spark.emptyDataset[RefEdge], cfg0), dist)
+      val dok = direct == general
+      println(s"[soak] seed=$seed n=$n mode=$tag-direct " +
+        s"rels=${direct.size} " + (if (dok) "OK" else "DIVERGED"))
+      if (!dok) {
+        bad = true
+        println(s"  directOnly=${(direct -- general).take(5)}")
+        println(s"  generalOnly=${(general -- direct).take(5)}")
+      }
       geoms.unpersist()
     }
     spark.stop()
