@@ -34,6 +34,8 @@ object SpatialBench {
         .config("spark.local.dir",
           sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
         .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.io.compression.codec",
+          sys.env.getOrElse("GRAFT_CODEC", "lz4"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._

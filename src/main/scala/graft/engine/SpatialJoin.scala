@@ -1138,10 +1138,20 @@ object SpatialJoin {
       else aggRowSchema
     val stateSchema = if (distMode) distRowSchema else aggRowSchema
 
-    val src = exploded.select(col("cell"), col("gid"), col("side"),
-      col("subId"), col("nSubs"), col("kind"), col("coords"),
-      col("ringEnds"), col("minX"), col("minY"), col("maxX"), col("maxY"),
-      col("nlvl"))
+    // narrow shuffle rows: UnsafeRow spends a full 8-byte word per field,
+    // so the five small ints pack into one `meta` int (side b0, kind b1-2,
+    // nlvl b3-7, subId b8-15, nSubs b16-23) and the bbox into two longs —
+    // 13 fields -> 7 cuts ~48 bytes/row off the kernel shuffle
+    val src = exploded.select(col("cell"), col("gid"),
+      (col("side") + col("kind") * 2 + col("nlvl") * 8 +
+        col("subId") * 256 + col("nSubs") * 65536).cast("int").as("meta"),
+      col("coords"), col("ringEnds"),
+      (shiftleft(col("minX").cast("long"), 32)
+        .bitwiseOR(col("minY").cast("long").bitwiseAND(lit(0xffffffffL))))
+        .as("bb0"),
+      (shiftleft(col("maxX").cast("long"), 32)
+        .bitwiseOR(col("maxY").cast("long").bitwiseAND(lit(0xffffffffL))))
+        .as("bb1"))
     // explicit partition count: with a bare repartition(col) AQE coalesces
     // the 67 MB cell shuffle to ~6 partitions, which packs badly onto the
     // executor cores and loses skew headroom — kernel cost per row is far
@@ -1413,17 +1423,20 @@ object SpatialJoin {
       val gProbe = new GKey(null, 0L)
       def makeRef(row: InternalRow): GeomRef = {
         val gidU = row.getUTF8String(1)
-        val side = row.getInt(2); val subId = row.getInt(3)
+        val meta = row.getInt(2)
+        val side = meta & 1; val kind = (meta >> 1) & 3
+        val nlvl = (meta >> 3) & 31
+        val subId = (meta >> 8) & 0xff; val nSubs = (meta >> 16) & 0xff
         var g: Geo.G = null
-        val nCoordInts = row.getArray(6).numElements()
+        val nCoordInts = row.getArray(3).numElements()
         val cacheable = nCoordInts >= 64
         if (cacheable) {
           gProbe.gid = gidU; gProbe.sk = side.toLong << 32 | subId.toLong
           g = gCache.get(gProbe)
         }
         if (g == null) {
-          g = new Geo.G(row.getInt(5), row.getArray(6).toIntArray(),
-            row.getArray(7).toIntArray())
+          g = new Geo.G(kind, row.getArray(3).toIntArray(),
+            row.getArray(4).toIntArray())
           if (cacheable) {
             if (gCache.size() > 4096) gCache.clear()
             gCache.put(new GKey(gidU.clone(), gProbe.sk), g)
@@ -1442,9 +1455,10 @@ object SpatialJoin {
           if (e > eMax) eMax = e
           i += 2
         }
-        new GeomRef(gidU.clone(), side, subId, row.getInt(4), row.getInt(5),
-          row.getInt(8), row.getInt(9), row.getInt(10), row.getInt(11),
-          dMin, dMax, eMin, eMax, row.getInt(12), g)
+        val bb0 = row.getLong(5); val bb1 = row.getLong(6)
+        new GeomRef(gidU.clone(), side, subId, nSubs, kind,
+          (bb0 >> 32).toInt, bb0.toInt, (bb1 >> 32).toInt, bb1.toInt,
+          dMin, dMax, eMin, eMax, nlvl, g)
       }
 
       def writeState(k: PKey, s: AggState): InternalRow = {
