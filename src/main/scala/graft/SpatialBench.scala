@@ -53,7 +53,7 @@ object SpatialBench {
             val gc = i.taskMetrics.jvmGCTime / 1e3
             val spill = i.taskMetrics.memoryBytesSpilled >> 20
             val shW = i.taskMetrics.shuffleWriteMetrics.bytesWritten >> 20
-            if (wall > 0.5) stages.add(
+            if (wall > 0.15) stages.add(
               f"stage ${i.stageId}%3d tasks=${i.numTasks}%4d wall=$wall%7.2f " +
                 f"run=$run%8.1f cpu=$cpu%8.1f gc=$gc%7.1f " +
                 f"spillMB=$spill shufWrMB=$shW")
@@ -96,7 +96,10 @@ object SpatialBench {
       if (SpatialJoin.lastExactChecks != null)
         println(s"[spatialbench] exactChecks=" +
           s"${SpatialJoin.lastExactChecks.value} " +
-          s"decidedShortcut=${SpatialJoin.lastDecided.value}")
+          s"decidedShortcut=${SpatialJoin.lastDecided.value} " +
+          s"pairTests=${Option(SpatialJoin.lastPairTests).map(_.value).getOrElse(-1L)} " +
+          s"bboxPass=${Option(SpatialJoin.lastBboxPass).map(_.value).getOrElse(-1L)} " +
+          s"cellPass=${Option(SpatialJoin.lastCellPass).map(_.value).getOrElse(-1L)}")
       if (SpatialJoin.lastKindNs != null &&
           SpatialJoin.lastKindN.exists(_.value > 0))
         for (k <- 0 until 9 if SpatialJoin.lastKindN(k).value > 0)

@@ -1026,6 +1026,9 @@ object SpatialJoin {
     * (diagnostic; read by SpatialBench after the run). */
   @volatile var lastExactChecks: org.apache.spark.util.LongAccumulator = _
   @volatile var lastDecided: org.apache.spark.util.LongAccumulator = _
+  @volatile var lastPairTests: org.apache.spark.util.LongAccumulator = _
+  @volatile var lastBboxPass: org.apache.spark.util.LongAccumulator = _
+  @volatile var lastCellPass: org.apache.spark.util.LongAccumulator = _
   @volatile var lastKindNs: Array[org.apache.spark.util.LongAccumulator] = _
   @volatile var lastKindN: Array[org.apache.spark.util.LongAccumulator] = _
 
@@ -1122,6 +1125,12 @@ object SpatialJoin {
       sys.env.get("GRAFT_KERNEL_DEBUG").contains("skipstate")
     val dbgTimeKinds =
       sys.env.get("GRAFT_KERNEL_DEBUG").contains("timekinds")
+    val dbgPairStats =
+      sys.env.get("GRAFT_KERNEL_DEBUG").exists(_.contains("pairstats"))
+    val accBboxPass = spark.sparkContext.longAccumulator("graft.bboxPass")
+    val accCellPass = spark.sparkContext.longAccumulator("graft.cellPass")
+    lastBboxPass = accBboxPass
+    lastCellPass = accCellPass
     val accKindNs = if (!dbgTimeKinds) null else Array.tabulate(9)(i =>
       spark.sparkContext.longAccumulator(s"graft.relateNs.k${i / 3}${i % 3}"))
     val accKindN = if (!dbgTimeKinds) null else Array.tabulate(9)(i =>
@@ -1170,12 +1179,18 @@ object SpatialJoin {
     val hashGroup = spark.conf.getOption("graft.kernel.group")
       .orElse(sys.env.get("GRAFT_KERNEL_GROUP")).contains("hash")
     val shuffled = src.repartition(kernelParts, col("cell"))
+    // secondary sort on bb0 (minX in the high bits): rows within a cell
+    // arrive minX-ascending, which turns the per-cell pair scan into a
+    // sweep with an active list (see the retirement loop in pump)
     val sorted =
-      if (hashGroup) shuffled else shuffled.sortWithinPartitions(col("cell"))
+      if (hashGroup) shuffled
+      else shuffled.sortWithinPartitions(col("cell"), col("bb0"))
     val accChecks = spark.sparkContext.longAccumulator("graft.exactChecks")
     val accDecided = spark.sparkContext.longAccumulator("graft.decided")
+    val accPairTests = spark.sparkContext.longAccumulator("graft.pairTests")
     lastExactChecks = accChecks
     lastDecided = accDecided
+    lastPairTests = accPairTests
 
     val rdd = sorted.queryExecution.toRdd.mapPartitions { rows0 =>
       import org.apache.spark.sql.catalyst.InternalRow
@@ -1199,7 +1214,11 @@ object SpatialJoin {
             buf += r.copy()
           }
           import scala.jdk.CollectionConverters._
-          m.values().iterator().asScala.flatMap(_.iterator)
+          // restore the minX-ascending within-cell order the sweep
+          // retirement loop relies on (hash grouping loses arrival order)
+          m.values().iterator().asScala.flatMap { buf =>
+            buf.sortInPlaceBy(_.getLong(5)); buf.iterator
+          }
         }
       val proj = UnsafeProjection.create(stateSchema)
       val out = new SpecificInternalRow(stateSchema)
@@ -1287,6 +1306,22 @@ object SpatialJoin {
           (math.floor((y + w2) / csLD).toLong + CELL_BIAS)
 
       def processPair(p: GeomRef, q: GeomRef): Unit = {
+        accPairTests.add(1)
+        // cheap symmetric rejects first; the UTF8String gid compare is the
+        // most expensive of these tests and runs only on survivors
+        if (p.minX > q.maxX || q.minX > p.maxX ||
+            p.minY > q.maxY || q.minY > p.maxY) return
+        if (dbgPairStats) accBboxPass.add(1)
+        // first-common-cell dedup: only the cell holding the min corner of
+        // the bbox intersection reports the pair (symmetric in p/q)
+        if (cellOf(math.max(p.minX, q.minX), math.max(p.minY, q.minY))
+            != curCell) return
+        if (dbgPairStats) accCellPass.add(1)
+        // 45-deg diag-box filter (predicates only: distance pads bboxes but
+        // the diag extents are unpadded)
+        if (!distMode &&
+            (p.dMin > q.dMax || q.dMin > p.dMax ||
+              p.eMin > q.eMax || q.eMin > p.eMax)) return
         var a = p; var b = q
         if (selfJoin) {
           val c = p.gid.compareTo(q.gid)
@@ -1296,17 +1331,6 @@ object SpatialJoin {
           if (p.side == q.side) return
           if (p.side == 1) { a = q; b = p }
         }
-        if (a.minX > b.maxX || b.minX > a.maxX ||
-            a.minY > b.maxY || b.minY > a.maxY) return
-        // first-common-cell dedup: only the cell holding the min corner of
-        // the bbox intersection reports the pair
-        if (cellOf(math.max(a.minX, b.minX), math.max(a.minY, b.minY))
-            != curCell) return
-        // 45-deg diag-box filter (predicates only: distance pads bboxes but
-        // the diag extents are unpadded)
-        if (!distMode &&
-            (a.dMin > b.dMax || b.dMin > a.dMax ||
-              a.eMin > b.eMax || b.eMin > a.eMax)) return
         // oriented-bbox filter for big geometries (P6, reference
         // Sweeper.cpp:1605-1608: only when BOTH sides carry an OBB)
         if (!distMode && a.g.nPoints >= OBB_MIN_POINTS &&
@@ -1503,16 +1527,26 @@ object SpatialJoin {
                 rectY0 = ccy * csLD - w2; rectY1 = (ccy + 1) * csLD - w2
               }
               val ref = makeRef(row)
-              var i = 0
-              if (ref.nlvl == curLevel) {
-                while (i < natives.length) { processPair(natives(i), ref); i += 1 }
-                i = 0
-                while (i < visitors.length) { processPair(visitors(i), ref); i += 1 }
-                natives += ref
-              } else {
-                while (i < natives.length) { processPair(natives(i), ref); i += 1 }
-                visitors += ref
+              // sweep active-list: rows within a cell arrive minX-ascending
+              // (bb0 in the shuffle sort key), so a member with
+              // maxX < ref.minX can never pair with this or any future ref
+              // of the cell — retire it (swap-remove). Survivors are
+              // x-overlapping by construction; processPair re-checks the
+              // full bbox anyway (cheap, and keeps it order-independent).
+              def scan(buf: scala.collection.mutable.ArrayBuffer[GeomRef])
+                  : Unit = {
+                var i = 0
+                while (i < buf.length) {
+                  val m = buf(i)
+                  if (m.maxX < ref.minX) {
+                    buf(i) = buf(buf.length - 1)
+                    buf.remove(buf.length - 1)
+                  } else { processPair(m, ref); i += 1 }
+                }
               }
+              scan(natives)
+              if (ref.nlvl == curLevel) { scan(visitors); natives += ref }
+              else visitors += ref
             }
             drain = aggMap.entrySet().iterator()
           }
