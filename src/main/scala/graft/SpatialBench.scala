@@ -56,7 +56,8 @@ object SpatialBench {
             if (wall > 0.15) stages.add(
               f"stage ${i.stageId}%3d tasks=${i.numTasks}%4d wall=$wall%7.2f " +
                 f"run=$run%8.1f cpu=$cpu%8.1f gc=$gc%7.1f " +
-                f"spillMB=$spill shufWrMB=$shW")
+                f"spillMB=$spill shufWrMB=$shW " +
+                i.name.takeWhile(_ != '\n').take(60))
           }
         })
       val refs = spark.emptyDataset[graft.engine.RefEdge]

@@ -1703,8 +1703,10 @@ object SpatialJoin {
       max(ext.cast("long")), max(col("nSubs")),
       max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0)),
       max(col("side")))
+    spark.sparkContext.setCallSite("graft.stats")
     val st = padDf(g0.toDF(), cfg).agg(
       avg(ext.cast("double")), baseAggs ++ bucketCols: _*).head()
+    spark.sparkContext.clearCallSite()
     val meanExt = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
     val maxExt = if (st.isNullAt(1)) 0L else st.getLong(1)
     val bigMultis = !st.isNullAt(2) && st.getInt(2) > 63
@@ -1728,9 +1730,13 @@ object SpatialJoin {
     val autoEdges =
       if (cfg.dupMinPoints >= 0 && maxCoordLen >= cfg.dupMinPoints * 2 &&
           maxCoordLen > 0)
-        dupEdges(spark, g0, cfgCs).collect()
+        { spark.sparkContext.setCallSite("graft.dupscan")
+          val e = dupEdges(spark, g0, cfgCs).collect()
+          spark.sparkContext.clearCallSite(); e }
       else Array.empty[RefEdge]
+    spark.sparkContext.setCallSite("graft.refs")
     val edges = refs.collect() ++ autoEdges
+    spark.sparkContext.clearCallSite()
     // drop duplicate sub-geometries from the join input: their relations
     // come from the keeper via fanout
     val g =
