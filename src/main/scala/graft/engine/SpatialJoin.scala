@@ -1108,7 +1108,7 @@ object SpatialJoin {
     * (distance); [[aggregateFromPre]] merges them. */
   def fusedPairs(spark: SparkSession, geoms: Dataset[SubGeom],
       cfg: SpatialConfig, activeLevels: Seq[Int] = null,
-      direct: Boolean = false): DataFrame = {
+      direct: Boolean = false, rowHint: Long = -1L): DataFrame = {
     val (cfg2, lvls) =
       if (activeLevels != null && cfg.cellSize > 0) (cfg, activeLevels)
       else { val (c, l, _) = coverSpec(geoms, cfg); (c, l) }
@@ -1167,7 +1167,15 @@ object SpatialJoin {
     // higher than a byte-count target assumes. AQE's skew SPLIT never
     // applies to a mapPartitions-consumed exchange anyway (join-only), so
     // the explicit count gives strictly better balance.
-    val kernelParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // partitions grow with the input (when run() passes its stats-pass row
+    // count) so per-task sort volume stays bounded: at 10M geoms the fixed
+    // 32-partition sort spilled 2.8 GB; ~100k sub-geometries per kernel
+    // task keeps the sorter in memory and the tasks short enough for AQE-
+    // free balance. Never shrinks below the configured parallelism.
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val kernelParts =
+      if (rowHint > 0) math.max(confParts, (rowHint / 100000L).toInt)
+      else confParts
     // the kernel needs cell GROUPING, not global cell order; the hash
     // variant (spark conf graft.kernel.group=hash, or env
     // GRAFT_KERNEL_GROUP) skips the Tungsten sort and re-groups rows in a
@@ -1702,7 +1710,7 @@ object SpatialJoin {
     val baseAggs = Seq(
       max(ext.cast("long")), max(col("nSubs")),
       max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0)),
-      max(col("side")))
+      max(col("side")), count(lit(1)))
     spark.sparkContext.setCallSite("graft.stats")
     val st = padDf(g0.toDF(), cfg).agg(
       avg(ext.cast("double")), baseAggs ++ bucketCols: _*).head()
@@ -1715,6 +1723,7 @@ object SpatialJoin {
     // compared" (reference README.md:118): sides in the input activate the
     // non-self discipline regardless of the configured default
     val hasSides = !st.isNullAt(4) && st.getInt(4) > 0
+    val nRows = if (st.isNullAt(5)) -1L else st.getLong(5)
     val cs = if (cfg.cellSize > 0) cfg.cellSize
       else cellSizeFor(meanExt, distMode = cfg.withinDist >= 0)
     val cfgCs = cfg.copy(cellSize = cs,
@@ -1752,7 +1761,7 @@ object SpatialJoin {
     val lvls =
       if (levelFor(maxExt, cs) == 0) Seq(0)
       else (0 until LVL_BUCKETS).flatMap { k =>
-        val mnIdx = 5 + 2 * k
+        val mnIdx = 6 + 2 * k
         if (st.isNullAt(mnIdx)) Nil
         else Seq(levelFor(st.getLong(mnIdx), cs),
           levelFor(st.getLong(mnIdx + 1), cs))
@@ -1764,8 +1773,10 @@ object SpatialJoin {
       // inside the kernel (one processPair globally per pair), so the
       // kernel emits FINAL relation rows and no merge shuffle exists
       val allSingle = st.isNullAt(2) || st.getInt(2) <= 1
-      return if (allSingle) fusedPairs(spark, g, cfgCs, lvls, direct = true)
-      else aggregateFromPre(spark, fusedPairs(spark, g, cfgCs, lvls), cfgCs)
+      return if (allSingle)
+        fusedPairs(spark, g, cfgCs, lvls, direct = true, rowHint = nRows)
+      else aggregateFromPre(spark,
+        fusedPairs(spark, g, cfgCs, lvls, rowHint = nRows), cfgCs)
     }
     {
       val cands = candidates(spark, g, cfgCs, lvls)
