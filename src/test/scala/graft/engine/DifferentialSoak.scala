@@ -33,15 +33,34 @@ object DifferentialSoak {
 
     import spark.implicits._
     var bad = false
+    // translate geometries so the working bbox straddles (0,0): SynthGeo
+    // and every reference fixture live in the positive quadrant (Germany),
+    // which is exactly where round 1's EdgeIndex sign-overflow bug hid —
+    // negative coordinates must exercise the bb0 sort key, cell math and
+    // packed-row decode too
+    def translate(g: SubGeom, dx: Int, dy: Int): SubGeom = {
+      val cs = new Array[Int](g.coords.length)
+      var i = 0
+      while (i < cs.length) {
+        cs(i) = g.coords(i) + dx; cs(i + 1) = g.coords(i + 1) + dy; i += 2
+      }
+      g.copy(coords = cs, minX = g.minX + dx, minY = g.minY + dy,
+        maxX = g.maxX + dx, maxY = g.maxY + dy)
+    }
     // third leg: NON-SELF side discipline (sides assigned by gid hash) —
     // exercises the fused kernel's side ordering + the general path's side
     // predicate beyond the fixed brandenburg fixtures
+    val dx = -graft.geom.Geo.projX(10.0) // center of SynthGeo's lon band
+    val dy = -graft.geom.Geo.projY(51.0) // center of its lat band
     for (seed <- seeds;
-         cfg0 <- Seq(SpatialConfig(dupMinPoints = -1),
-           SpatialConfig(mode = "distance", withinDist = 2500,
-             dupMinPoints = -1),
-           SpatialConfig(selfJoin = false, dupMinPoints = -1))) {
-      val base = SynthGeo.dataset(spark, n, seed)
+         (cfg0, shift) <- Seq(
+           (SpatialConfig(dupMinPoints = -1), false),
+           (SpatialConfig(dupMinPoints = -1), true),
+           (SpatialConfig(mode = "distance", withinDist = 2500,
+             dupMinPoints = -1), false),
+           (SpatialConfig(selfJoin = false, dupMinPoints = -1), false))) {
+      val base0 = SynthGeo.dataset(spark, n, seed)
+      val base = if (!shift) base0 else base0.map(g => translate(g, dx, dy))
       val geoms = (
         if (cfg0.selfJoin) base
         else base.map(g => g.copy(side = math.abs(g.gid.hashCode) % 2))
@@ -55,7 +74,8 @@ object DifferentialSoak {
           SpatialJoin.candidates(spark, geoms, cfg, lvls), cfg),
         cfg, hadRefs = false, mayHaveBigMultis = false), dist)
       val ok = fused == general && fused.nonEmpty
-      val tag = if (cfg0.selfJoin) cfg0.mode else s"${cfg0.mode}-nonself"
+      val tag = (if (cfg0.selfJoin) cfg0.mode else s"${cfg0.mode}-nonself") +
+        (if (shift) "-straddle00" else "")
       println(s"[soak] seed=$seed n=$n mode=$tag rels=${fused.size} " +
         (if (ok) "OK" else "DIVERGED"))
       if (!ok) {
