@@ -1611,51 +1611,101 @@ object SpatialJoin {
     // multi-sub side (minority class) are merged in a map and finalized
     // when the partition's input is exhausted. Replaces the 18-expression
     // two-stage hash agg + verdict projection + explode.
+    //
+    // MEMORY BOUND / MERGE STRATEGY: the hash merge (default) holds one
+    // ~100-byte entry per DISTINCT multi-sub pair of the partition (never
+    // the single-sub majority, and kernel partitions scale with input size
+    // via rowHint). For inputs whose pairs are overwhelmingly
+    // multi×multi-geometry, `graft.merge=sort` (conf or GRAFT_MERGE env)
+    // selects a sort-based merge instead: Tungsten sorts the partials by
+    // pair key (spilling gracefully at any size) and the merge keeps O(1)
+    // group state. Same output, verified by EngineOpsSpec.
     val selfJoin = cfg.selfJoin
-    val parted = pre.repartition(col("gidA"), col("gidB"))
+    val sortMerge = spark.conf.getOption("graft.merge")
+      .orElse(sys.env.get("GRAFT_MERGE")).contains("sort")
+    val parted0 = pre.repartition(col("gidA"), col("gidB"))
+    val parted =
+      if (sortMerge) parted0.sortWithinPartitions(col("gidA"), col("gidB"))
+      else parted0
     val rdd = parted.queryExecution.toRdd.mapPartitions { rows =>
       import org.apache.spark.sql.catalyst.InternalRow
       val em = new RelEmitter(false)
-      val pmap = new java.util.HashMap[PKey, AggState](1 << 10)
-      val probe = new PKey(null, null)
-      val tmp = new AggState
-      new Iterator[InternalRow] {
-        private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
+      if (sortMerge) new Iterator[InternalRow] {
+        // rows arrive pair-key-contiguous: one running group state
+        private val cur = new AggState
+        private var curA: org.apache.spark.unsafe.types.UTF8String = _
+        private var curB: org.apache.spark.unsafe.types.UTF8String = _
+        private var open = false
         private def fill(): Unit = {
           while (!em.hasRow) {
-            if (drain == null) {
-              if (!rows.hasNext) { drain = pmap.entrySet().iterator() }
-              else {
-                val r = rows.next()
-                val p = r.getLong(2)
-                if ((p >>> 24 & 0xff) == 1 && (p >>> 32 & 0xff) == 1) {
-                  tmp.reset()
-                  mergePacked(tmp, p, r)
-                  // em borrows the row's UTF8Strings; the input row is not
-                  // advanced until the emitter drains, and writeNext copies
-                  // the bytes into the projection buffer
-                  em.load(r.getUTF8String(0), r.getUTF8String(1),
-                    emissionMask(tmp, selfJoin))
-                } else {
-                  probe.a = r.getUTF8String(0); probe.b = r.getUTF8String(1)
-                  var s = pmap.get(probe)
-                  if (s == null) {
-                    s = new AggState
-                    pmap.put(new PKey(probe.a.clone(), probe.b.clone()), s)
-                  }
-                  mergePacked(s, p, r)
-                }
-              }
+            if (!rows.hasNext) {
+              if (open) {
+                open = false
+                em.load(curA, curB, emissionMask(cur, selfJoin))
+              } else return
             } else {
-              if (!drain.hasNext) return
-              val e = drain.next()
-              em.load(e.getKey.a, e.getKey.b,
-                emissionMask(e.getValue, selfJoin))
+              val r = rows.next()
+              val a = r.getUTF8String(0); val b = r.getUTF8String(1)
+              if (open && a.equals(curA) && b.equals(curB))
+                mergePacked(cur, r.getLong(2), r)
+              else {
+                val hadGroup = open
+                val m = if (hadGroup) emissionMask(cur, selfJoin) else 0
+                val pa = curA; val pb = curB
+                cur.reset()
+                curA = a.clone(); curB = b.clone()
+                open = true
+                mergePacked(cur, r.getLong(2), r)
+                if (hadGroup) em.load(pa, pb, m)
+              }
             }
           }
         }
         override def hasNext: Boolean = { fill(); em.hasRow }
         override def next(): InternalRow = { fill(); em.writeNext() }
+      }
+      else {
+        val pmap = new java.util.HashMap[PKey, AggState](1 << 10)
+        val probe = new PKey(null, null)
+        val tmp = new AggState
+        new Iterator[InternalRow] {
+          private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
+          private def fill(): Unit = {
+            while (!em.hasRow) {
+              if (drain == null) {
+                if (!rows.hasNext) { drain = pmap.entrySet().iterator() }
+                else {
+                  val r = rows.next()
+                  val p = r.getLong(2)
+                  if ((p >>> 24 & 0xff) == 1 && (p >>> 32 & 0xff) == 1) {
+                    tmp.reset()
+                    mergePacked(tmp, p, r)
+                    // em borrows the row's UTF8Strings; the input row is not
+                    // advanced until the emitter drains, and writeNext copies
+                    // the bytes into the projection buffer
+                    em.load(r.getUTF8String(0), r.getUTF8String(1),
+                      emissionMask(tmp, selfJoin))
+                  } else {
+                    probe.a = r.getUTF8String(0); probe.b = r.getUTF8String(1)
+                    var s = pmap.get(probe)
+                    if (s == null) {
+                      s = new AggState
+                      pmap.put(new PKey(probe.a.clone(), probe.b.clone()), s)
+                    }
+                    mergePacked(s, p, r)
+                  }
+                }
+              } else {
+                if (!drain.hasNext) return
+                val e = drain.next()
+                em.load(e.getKey.a, e.getKey.b,
+                  emissionMask(e.getValue, selfJoin))
+              }
+            }
+          }
+          override def hasNext: Boolean = { fill(); em.hasRow }
+          override def next(): InternalRow = { fill(); em.writeNext() }
+        }
       }
     }
     org.apache.spark.sql.GraftInternal.internalDf(spark, rdd, relRowSchema)

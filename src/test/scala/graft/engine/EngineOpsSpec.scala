@@ -395,6 +395,45 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sort-based merge == hash merge == general path on multi-geometries") {
+    // the merge stage's two strategies (hash map vs sorted O(1)-state
+    // groups, graft.merge=sort) must agree on inputs where pairs actually
+    // need merging — multitests/collectiontests carry multi-sub geometries
+    // whose sub-pairs are examined in different cells (SynthGeo is all
+    // single-sub, so the soak never closes a multi group)
+    val s = spark
+    def rels(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      df.selectExpr("a_id", "cast(predicate as string)", "b_id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+    for (ds <- Seq("multitests", "collectiontests")) {
+      val lines = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream(s"/datasets/$ds"), "UTF-8")
+        .getLines().toSeq
+      val strDs = s.createDataset(lines)(
+        org.apache.spark.sql.Encoders.STRING)
+      val (geoms0, _) = Model.parseLines(s, strDs)
+      val geoms = geoms0.cache()
+      val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms,
+        SpatialConfig(dupMinPoints = -1))
+      val hashM = rels(SpatialJoin.aggregateFromPre(s,
+        SpatialJoin.fusedPairs(s, geoms, cfg, lvls), cfg))
+      s.conf.set("graft.merge", "sort")
+      val sortM = try rels(SpatialJoin.aggregateFromPre(s,
+        SpatialJoin.fusedPairs(s, geoms, cfg, lvls), cfg))
+      finally s.conf.unset("graft.merge")
+      val general = rels(SpatialJoin.aggregate(s,
+        SpatialJoin.refine(s, SpatialJoin.candidates(s, geoms, cfg, lvls),
+          cfg), cfg, hadRefs = false, mayHaveBigMultis = false))
+      assert(hashM == general, s"$ds hash merge diverges: " +
+        s"+${(hashM -- general).take(5)} -${(general -- hashM).take(5)}")
+      assert(sortM == general, s"$ds sort merge diverges: " +
+        s"+${(sortM -- general).take(5)} -${(general -- sortM).take(5)}")
+      assert(hashM.nonEmpty)
+      geoms.unpersist()
+    }
+  }
+
   test("cellCover generator matches an independent enumeration") {
     // the cover feeds BOTH join paths; this pins the generator (pad, nlvl,
     // level filter, cell-range loops, key packing) against a plain-Scala
