@@ -1149,12 +1149,19 @@ object SpatialJoin {
 
     // narrow shuffle rows: UnsafeRow spends a full 8-byte word per field,
     // so the five small ints pack into one `meta` int (side b0, kind b1-2,
-    // nlvl b3-7, subId b8-15, nSubs b16-23) and the bbox into two longs —
-    // 13 fields -> 7 cuts ~48 bytes/row off the kernel shuffle
+    // nlvl b3-7, subId b8-15, nSubs b16-23), the bbox into two longs, and
+    // the geometry payload into one delta-varint binary (CoordCodec —
+    // web-mercator coords are lz4-incompressible and were ~60% of the
+    // shuffle bytes). The EncodeGeom expression evaluates inside the
+    // exchange projection, so encoding runs once per cover row in the
+    // cover stage's codegen span.
+    val encCol = org.apache.spark.sql.GraftInternal.colOf(EncodeGeom(
+      org.apache.spark.sql.GraftInternal.exprOf(col("coords")),
+      org.apache.spark.sql.GraftInternal.exprOf(col("ringEnds"))))
     val src = exploded.select(col("cell"), col("gid"),
       (col("side") + col("kind") * 2 + col("nlvl") * 8 +
         col("subId") * 256 + col("nSubs") * 65536).cast("int").as("meta"),
-      col("coords"), col("ringEnds"),
+      encCol.as("enc"),
       (shiftleft(col("minX").cast("long"), 32)
         .bitwiseOR(col("minY").cast("long").bitwiseAND(lit(0xffffffffL))))
         .as("bb0"),
@@ -1225,7 +1232,7 @@ object SpatialJoin {
           // restore the minX-ascending within-cell order the sweep
           // retirement loop relies on (hash grouping loses arrival order)
           m.values().iterator().asScala.flatMap { buf =>
-            buf.sortInPlaceBy(_.getLong(5)); buf.iterator
+            buf.sortInPlaceBy(_.getLong(4)); buf.iterator
           }
         }
       val proj = UnsafeProjection.create(stateSchema)
@@ -1460,15 +1467,15 @@ object SpatialJoin {
         val nlvl = (meta >> 3) & 31
         val subId = (meta >> 8) & 0xff; val nSubs = (meta >> 16) & 0xff
         var g: Geo.G = null
-        val nCoordInts = row.getArray(3).numElements()
-        val cacheable = nCoordInts >= 64
+        val enc = row.getBinary(3)
+        val cacheable = enc.length >= 48 // ~32+ points
         if (cacheable) {
           gProbe.gid = gidU; gProbe.sk = side.toLong << 32 | subId.toLong
           g = gCache.get(gProbe)
         }
         if (g == null) {
-          g = new Geo.G(kind, row.getArray(3).toIntArray(),
-            row.getArray(4).toIntArray())
+          val (cs0, re0) = graft.geom.CoordCodec.decode(enc)
+          g = new Geo.G(kind, cs0, re0)
           if (cacheable) {
             if (gCache.size() > 4096) gCache.clear()
             gCache.put(new GKey(gidU.clone(), gProbe.sk), g)
@@ -1487,7 +1494,7 @@ object SpatialJoin {
           if (e > eMax) eMax = e
           i += 2
         }
-        val bb0 = row.getLong(5); val bb1 = row.getLong(6)
+        val bb0 = row.getLong(4); val bb1 = row.getLong(5)
         new GeomRef(gidU.clone(), side, subId, nSubs, kind,
           (bb0 >> 32).toInt, bb0.toInt, (bb1 >> 32).toInt, bb1.toInt,
           dMin, dMax, eMin, eMax, nlvl, g)

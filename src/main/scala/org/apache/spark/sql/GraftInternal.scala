@@ -16,4 +16,11 @@ object GraftInternal {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Column <-> Expression bridge for custom Catalyst expressions. */
+  def exprOf(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
+  def colOf(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
