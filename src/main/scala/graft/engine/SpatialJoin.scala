@@ -184,6 +184,58 @@ object SpatialJoin {
     (exploded, cs)
   }
 
+  /** Cover chain for the FUSED kernel: emits the packed 6-column shuffle
+    * row (cell, gid, meta, enc, bb0, bb1) directly. Identical cell
+    * enumeration to [[cellCoverSql]]; the difference is WHERE the packing
+    * projection sits. meta/enc/bb0/bb1 depend only on per-geometry values,
+    * so they are projected BELOW the explode chain and evaluate once per
+    * sub-geometry — not once per cover row (~3x on the 1M-geom mix, and
+    * the delta-varint coord encoding is the cover stage's biggest
+    * expression). Generate's codegen evaluates required child columns
+    * before its emission loop, so within the single WholeStageCodegen span
+    * the packed values are computed once and reused across the row's
+    * cells. */
+  private def cellCoverPacked(geoms: Dataset[SubGeom], cfg: SpatialConfig,
+      activeLevels: Seq[Int]): (DataFrame, Long) = {
+    val padded = padDf(geoms.toDF(), cfg)
+    val cs = cfg.cellSize
+    val lvls = activeLevels.distinct.sorted
+    val lvlArr = array(lvls.map(lit(_)): _*)
+    val w2 = lit(WORLD_W / 2)
+    val csL = (lit(cs) *
+      expr(s"shiftleft(1L, lvl * $LEVEL_FACTOR_BITS)")).cast("double")
+    val encCol = org.apache.spark.sql.GraftInternal.colOf(EncodeGeom(
+      org.apache.spark.sql.GraftInternal.exprOf(col("coords")),
+      org.apache.spark.sql.GraftInternal.exprOf(col("ringEnds"))))
+    val pre = padded
+      .withColumn("nlvl", nlvlCol(cs))
+      .select(col("gid"),
+        (col("side") + col("kind") * 2 + col("nlvl") * 8 +
+          col("subId") * 256 + col("nSubs") * 65536).cast("int").as("meta"),
+        encCol.as("enc"),
+        (shiftleft(col("minX").cast("long"), 32)
+          .bitwiseOR(col("minY").cast("long").bitwiseAND(lit(0xffffffffL))))
+          .as("bb0"),
+        (shiftleft(col("maxX").cast("long"), 32)
+          .bitwiseOR(col("maxY").cast("long").bitwiseAND(lit(0xffffffffL))))
+          .as("bb1"),
+        col("minX"), col("minY"), col("maxX"), col("maxY"), col("nlvl"))
+    val exploded = pre
+      .withColumn("lvl", explode(filter(lvlArr, l => l >= col("nlvl"))))
+      .withColumn("cx0", floor((col("minX") + w2) / csL))
+      .withColumn("cx1", floor((col("maxX") + w2) / csL))
+      .withColumn("cy0", floor((col("minY") + w2) / csL))
+      .withColumn("cy1", floor((col("maxY") + w2) / csL))
+      .withColumn("cx", explode(sequence(col("cx0"), col("cx1"))))
+      .withColumn("cy", explode(sequence(col("cy0"), col("cy1"))))
+      .withColumn("cell", shiftleft(col("lvl").cast("long"), CELL_LVL_SHIFT) +
+        (col("cx") + lit(CELL_BIAS)) * lit(1L << CELL_XY_BITS) +
+        (col("cy") + lit(CELL_BIAS)))
+      .select(col("cell"), col("gid"), col("meta"), col("enc"),
+        col("bb0"), col("bb1"))
+    (exploded, cs)
+  }
+
   /** Public cover accessor (e.g. for the streaming stream-static join):
     * resolves the cell size + active levels and returns the cover table,
     * the cell size, and the active levels. */
@@ -1112,7 +1164,6 @@ object SpatialJoin {
     val (cfg2, lvls) =
       if (activeLevels != null && cfg.cellSize > 0) (cfg, activeLevels)
       else { val (c, l, _) = coverSpec(geoms, cfg); (c, l) }
-    val (exploded, cs) = cellCover(geoms, cfg2, lvls)
     val distMode = cfg.mode == "distance"
     val wd = cfg.withinDist
     val selfJoin = cfg.selfJoin
@@ -1152,22 +1203,29 @@ object SpatialJoin {
     // nlvl b3-7, subId b8-15, nSubs b16-23), the bbox into two longs, and
     // the geometry payload into one delta-varint binary (CoordCodec —
     // web-mercator coords are lz4-incompressible and were ~60% of the
-    // shuffle bytes). The EncodeGeom expression evaluates inside the
-    // exchange projection, so encoding runs once per cover row in the
-    // cover stage's codegen span.
-    val encCol = org.apache.spark.sql.GraftInternal.colOf(EncodeGeom(
-      org.apache.spark.sql.GraftInternal.exprOf(col("coords")),
-      org.apache.spark.sql.GraftInternal.exprOf(col("ringEnds"))))
-    val src = exploded.select(col("cell"), col("gid"),
-      (col("side") + col("kind") * 2 + col("nlvl") * 8 +
-        col("subId") * 256 + col("nSubs") * 65536).cast("int").as("meta"),
-      encCol.as("enc"),
-      (shiftleft(col("minX").cast("long"), 32)
-        .bitwiseOR(col("minY").cast("long").bitwiseAND(lit(0xffffffffL))))
-        .as("bb0"),
-      (shiftleft(col("maxX").cast("long"), 32)
-        .bitwiseOR(col("maxY").cast("long").bitwiseAND(lit(0xffffffffL))))
-        .as("bb1"))
+    // shuffle bytes). cellCoverPacked projects these BELOW the explode
+    // chain so each evaluates once per sub-geometry, not per cover row;
+    // the GRAFT_COVER=gen measurement alternate keeps the per-cover-row
+    // packing over the generator's output (identical rows either way).
+    val (src, cs) =
+      if (!sys.env.get("GRAFT_COVER").contains("gen"))
+        cellCoverPacked(geoms, cfg2, lvls)
+      else {
+        val (exploded, cs0) = cellCover(geoms, cfg2, lvls)
+        val encCol = org.apache.spark.sql.GraftInternal.colOf(EncodeGeom(
+          org.apache.spark.sql.GraftInternal.exprOf(col("coords")),
+          org.apache.spark.sql.GraftInternal.exprOf(col("ringEnds"))))
+        (exploded.select(col("cell"), col("gid"),
+          (col("side") + col("kind") * 2 + col("nlvl") * 8 +
+            col("subId") * 256 + col("nSubs") * 65536).cast("int").as("meta"),
+          encCol.as("enc"),
+          (shiftleft(col("minX").cast("long"), 32)
+            .bitwiseOR(col("minY").cast("long").bitwiseAND(lit(0xffffffffL))))
+            .as("bb0"),
+          (shiftleft(col("maxX").cast("long"), 32)
+            .bitwiseOR(col("maxY").cast("long").bitwiseAND(lit(0xffffffffL))))
+            .as("bb1")), cs0)
+      }
     // explicit partition count: with a bare repartition(col) AQE coalesces
     // the 67 MB cell shuffle to ~6 partitions, which packs badly onto the
     // executor cores and loses skew headroom — kernel cost per row is far
