@@ -100,7 +100,8 @@ object SpatialBench {
           s"decidedShortcut=${SpatialJoin.lastDecided.value} " +
           s"pairTests=${Option(SpatialJoin.lastPairTests).map(_.value).getOrElse(-1L)} " +
           s"bboxPass=${Option(SpatialJoin.lastBboxPass).map(_.value).getOrElse(-1L)} " +
-          s"cellPass=${Option(SpatialJoin.lastCellPass).map(_.value).getOrElse(-1L)}")
+          s"cellPass=${Option(SpatialJoin.lastCellPass).map(_.value).getOrElse(-1L)} " +
+          s"isectMiss=${Option(SpatialJoin.lastIsectMiss).map(_.value).getOrElse(-1L)}")
       if (SpatialJoin.lastKindNs != null &&
           SpatialJoin.lastKindN.exists(_.value > 0))
         for (k <- 0 until 9 if SpatialJoin.lastKindN(k).value > 0)

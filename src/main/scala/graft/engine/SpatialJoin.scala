@@ -1081,6 +1081,7 @@ object SpatialJoin {
   @volatile var lastPairTests: org.apache.spark.util.LongAccumulator = _
   @volatile var lastBboxPass: org.apache.spark.util.LongAccumulator = _
   @volatile var lastCellPass: org.apache.spark.util.LongAccumulator = _
+  @volatile var lastIsectMiss: org.apache.spark.util.LongAccumulator = _
   @volatile var lastKindNs: Array[org.apache.spark.util.LongAccumulator] = _
   @volatile var lastKindN: Array[org.apache.spark.util.LongAccumulator] = _
 
@@ -1180,8 +1181,10 @@ object SpatialJoin {
       sys.env.get("GRAFT_KERNEL_DEBUG").exists(_.contains("pairstats"))
     val accBboxPass = spark.sparkContext.longAccumulator("graft.bboxPass")
     val accCellPass = spark.sparkContext.longAccumulator("graft.cellPass")
+    val accIsectMiss = spark.sparkContext.longAccumulator("graft.isectMiss")
     lastBboxPass = accBboxPass
     lastCellPass = accCellPass
+    lastIsectMiss = accIsectMiss
     val accKindNs = if (!dbgTimeKinds) null else Array.tabulate(9)(i =>
       spark.sparkContext.longAccumulator(s"graft.relateNs.k${i / 3}${i % 3}"))
     val accKindN = if (!dbgTimeKinds) null else Array.tabulate(9)(i =>
@@ -1487,6 +1490,7 @@ object SpatialJoin {
               rr
             } else Relate.relate(a.g, b.g)
           if (dbgSkipState) return
+          if (dbgPairStats && !r.isect) accIsectMiss.add(1)
           if (r.isect) {
             val s = stateOf(a.gid, b.gid)
             s.nA = a.nSubs; s.nB = b.nSubs
@@ -1539,23 +1543,12 @@ object SpatialJoin {
             gCache.put(new GKey(gidU.clone(), gProbe.sk), g)
           }
         }
-        val coords = g.coords
-        var i = 0
-        var dMin = Long.MaxValue; var dMax = Long.MinValue
-        var eMin = Long.MaxValue; var eMax = Long.MinValue
-        while (i < coords.length) {
-          val d = coords(i).toLong + coords(i + 1)
-          val e = coords(i).toLong - coords(i + 1)
-          if (d < dMin) dMin = d
-          if (d > dMax) dMax = d
-          if (e < eMin) eMin = e
-          if (e > eMax) eMax = e
-          i += 2
-        }
+        g.ensureDiag() // memoized on G: computed once per decoded geometry,
+        // not once per cover row (a multi-cell geometry is cache-hit here)
         val bb0 = row.getLong(4); val bb1 = row.getLong(5)
         new GeomRef(gidU.clone(), side, subId, nSubs, kind,
           (bb0 >> 32).toInt, bb0.toInt, (bb1 >> 32).toInt, bb1.toInt,
-          dMin, dMax, eMin, eMax, nlvl, g)
+          g.dMin, g.dMax, g.eMin, g.eMax, nlvl, g)
       }
 
       def writeState(k: PKey, s: AggState): InternalRow = {
@@ -1813,6 +1806,23 @@ object SpatialJoin {
     // thresholds are 8x apart, so a <=2x-wide extent bucket spans at most
     // one threshold — {levelFor(bucketMin), levelFor(bucketMax)} over the
     // non-empty buckets is EXACTLY the set of attained levels, for any cs.
+    // P9 scan overlapped with the stats pass: the two jobs are independent
+    // (dupEdges only needs dupMinPoints, not the cell size), and running
+    // them sequentially left ~0.3-0.5 s of serial driver+stage latency in
+    // every measured window. Overlap only when the input is ALREADY cached:
+    // two concurrent first actions on an unmaterialized cache would race to
+    // compute its partitions, so the cold path keeps the sequential order
+    // (where the stats result also gates the scan away entirely).
+    val dupFut: scala.concurrent.Future[Array[RefEdge]] =
+      if (cfg.dupMinPoints >= 0 &&
+          inRegion.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future {
+          spark.sparkContext.setCallSite("graft.dupscan")
+          try dupEdges(spark, g0, cfg).collect()
+          finally spark.sparkContext.clearCallSite()
+        }
+      } else null
     val LVL_BUCKETS = 34 // padded extents fit in 33 bits
     val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
     val extL = ext.cast("long")
@@ -1852,8 +1862,11 @@ object SpatialJoin {
     // this to the heavy tail the rewrite is for. The scan is skipped when
     // the stats prove nothing can qualify.
     val autoEdges =
-      if (cfg.dupMinPoints >= 0 && maxCoordLen >= cfg.dupMinPoints * 2 &&
-          maxCoordLen > 0)
+      if (cfg.dupMinPoints < 0) Array.empty[RefEdge]
+      else if (dupFut != null)
+        scala.concurrent.Await.result(dupFut,
+          scala.concurrent.duration.Duration.Inf)
+      else if (maxCoordLen >= cfg.dupMinPoints * 2 && maxCoordLen > 0)
         { spark.sparkContext.setCallSite("graft.dupscan")
           val e = dupEdges(spark, g0, cfgCs).collect()
           spark.sparkContext.clearCallSite(); e }

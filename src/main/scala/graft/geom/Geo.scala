@@ -111,6 +111,32 @@ object Geo {
       acc
     }
 
+    /** 45°-diag extents (d = x+y, e = x−y; the P5 filter axes), memoized:
+      * the fused kernel needs them once per COVER ROW, and a multi-cell
+      * geometry is decoded once per partition but seen on many rows — the
+      * coords re-walk per row was measurable at 1M geoms. Plain vars with a
+      * guard, not lazy vals: a G is task-confined, and an idempotent racy
+      * recompute would write identical values anyway. */
+    var dMin = 0L; var dMax = 0L
+    var eMin = 0L; var eMax = 0L
+    private[this] var diagOk = false
+    def ensureDiag(): Unit = if (!diagOk) {
+      var i = 0
+      var d0 = Long.MaxValue; var d1 = Long.MinValue
+      var e0 = Long.MaxValue; var e1 = Long.MinValue
+      while (i < coords.length) {
+        val d = coords(i).toLong + coords(i + 1)
+        val e = coords(i).toLong - coords(i + 1)
+        if (d < d0) d0 = d
+        if (d > d1) d1 = d
+        if (e < e0) e0 = e
+        if (e > e1) e1 = e
+        i += 2
+      }
+      dMin = d0; dMax = d1; eMin = e0; eMax = e1
+      diagOk = true
+    }
+
     /** The reference treats a line's first/last points as its boundary even
       * when the line is closed (no OGC mod-2 rule): the closed `grenzpart`
       * fixture's DE-9IM has BB=0 against freiburg1
