@@ -1255,12 +1255,17 @@ object SpatialJoin {
     val hashGroup = spark.conf.getOption("graft.kernel.group")
       .orElse(sys.env.get("GRAFT_KERNEL_GROUP")).contains("hash")
     val shuffled = src.repartition(kernelParts, col("cell"))
-    // secondary sort on bb0 (minX in the high bits): rows within a cell
-    // arrive minX-ascending, which turns the per-cell pair scan into a
-    // sweep with an active list (see the retirement loop in pump)
+    // sort by cell ALONE: a single long sort column satisfies the whole
+    // ordering from its 8-byte prefix, so Tungsten takes the RADIX path
+    // (zero record comparisons). The previous (cell, bb0) two-column sort
+    // disabled radix entirely — TimSort paid an UnsafeRow record
+    // comparison on every element move. The minX-ascending order the
+    // per-cell sweep needs is restored inside the kernel by sorting the
+    // DECODED GeomRefs of each cell (bounded by the task's row count,
+    // which kernelParts scales with input size).
     val sorted =
       if (hashGroup) shuffled
-      else shuffled.sortWithinPartitions(col("cell"), col("bb0"))
+      else shuffled.sortWithinPartitions(col("cell"))
     val accChecks = spark.sparkContext.longAccumulator("graft.exactChecks")
     val accDecided = spark.sparkContext.longAccumulator("graft.decided")
     val accPairTests = spark.sparkContext.longAccumulator("graft.pairTests")
@@ -1290,11 +1295,9 @@ object SpatialJoin {
             buf += r.copy()
           }
           import scala.jdk.CollectionConverters._
-          // restore the minX-ascending within-cell order the sweep
-          // retirement loop relies on (hash grouping loses arrival order)
-          m.values().iterator().asScala.flatMap { buf =>
-            buf.sortInPlaceBy(_.getLong(4)); buf.iterator
-          }
+          // any within-cell order is fine: the pump sorts each cell's
+          // decoded refs by minX before sweeping
+          m.values().iterator().asScala.flatMap(_.iterator)
         }
       val proj = UnsafeProjection.create(stateSchema)
       val out = new SpecificInternalRow(stateSchema)
@@ -1574,6 +1577,47 @@ object SpatialJoin {
       // early drains is marginal
       val drainCap =
         sys.env.getOrElse("GRAFT_DRAIN_CAP", (1 << 16).toString).toInt
+      // per-cell buffer of decoded refs: sorted by minX at flush, then swept
+      var cellArr = new Array[GeomRef](64)
+      var cellN = 0
+      val refCmp = new java.util.Comparator[GeomRef] {
+        override def compare(a: GeomRef, b: GeomRef): Int =
+          java.lang.Integer.compare(a.minX, b.minX)
+      }
+      // sweep active-list: refs are replayed minX-ascending, so a member
+      // with maxX < ref.minX can never pair with this or any future ref of
+      // the cell — retire it (swap-remove). Survivors are x-overlapping by
+      // construction; processPair re-checks the full bbox anyway (cheap,
+      // and keeps it order-independent).
+      def sweepRef(ref: GeomRef): Unit = {
+        def scan(buf: scala.collection.mutable.ArrayBuffer[GeomRef])
+            : Unit = {
+          var i = 0
+          while (i < buf.length) {
+            val m = buf(i)
+            if (m.maxX < ref.minX) {
+              buf(i) = buf(buf.length - 1)
+              buf.remove(buf.length - 1)
+            } else { processPair(m, ref); i += 1 }
+          }
+        }
+        scan(natives)
+        if (ref.nlvl == curLevel) { scan(visitors); natives += ref }
+        else visitors += ref
+      }
+      // pair generation for the completed cell: minX sort + sweep. Runs
+      // with the COMPLETED cell's rect/level state (callers update those
+      // only after flushing). Buffer space is bounded by the task's row
+      // count (kernelParts scales with the input).
+      def flushCell(): Unit = if (cellN > 0) {
+        java.util.Arrays.sort(cellArr, 0, cellN, refCmp)
+        natives.clear(); visitors.clear()
+        var i = 0
+        while (i < cellN) { sweepRef(cellArr(i)); i += 1 }
+        java.util.Arrays.fill(cellArr.asInstanceOf[Array[AnyRef]], 0, cellN,
+          null) // release for GC: decoded geometries are the partition's
+        cellN = 0 // biggest live set
+      }
       val pairIt = new Iterator[java.util.Map.Entry[PKey, AggState]] {
         private var drain: java.util.Iterator[java.util.Map.Entry[PKey, AggState]] = _
         private def pump(): Unit = {
@@ -1583,7 +1627,8 @@ object SpatialJoin {
               val row = rows.next()
               val cell = row.getLong(0)
               if (cell != curCell) {
-                natives.clear(); visitors.clear(); curCell = cell
+                flushCell() // uses the completed cell's rect/level
+                curCell = cell
                 curLevel = (cell >>> CELL_LVL_SHIFT).toInt
                 csLD = (cs << (LEVEL_FACTOR_BITS * curLevel)).toDouble
                 val fieldMask = (1L << CELL_XY_BITS) - 1
@@ -1592,28 +1637,12 @@ object SpatialJoin {
                 rectX0 = ccx * csLD - w2; rectX1 = (ccx + 1) * csLD - w2
                 rectY0 = ccy * csLD - w2; rectY1 = (ccy + 1) * csLD - w2
               }
-              val ref = makeRef(row)
-              // sweep active-list: rows within a cell arrive minX-ascending
-              // (bb0 in the shuffle sort key), so a member with
-              // maxX < ref.minX can never pair with this or any future ref
-              // of the cell — retire it (swap-remove). Survivors are
-              // x-overlapping by construction; processPair re-checks the
-              // full bbox anyway (cheap, and keeps it order-independent).
-              def scan(buf: scala.collection.mutable.ArrayBuffer[GeomRef])
-                  : Unit = {
-                var i = 0
-                while (i < buf.length) {
-                  val m = buf(i)
-                  if (m.maxX < ref.minX) {
-                    buf(i) = buf(buf.length - 1)
-                    buf.remove(buf.length - 1)
-                  } else { processPair(m, ref); i += 1 }
-                }
-              }
-              scan(natives)
-              if (ref.nlvl == curLevel) { scan(visitors); natives += ref }
-              else visitors += ref
+              if (cellN == cellArr.length)
+                cellArr = java.util.Arrays.copyOf(cellArr, cellN * 2)
+              cellArr(cellN) = makeRef(row)
+              cellN += 1
             }
+            if (!rows.hasNext) flushCell() // last cell of the partition
             drain = aggMap.entrySet().iterator()
           }
           if (drain == null) drain = aggMap.entrySet().iterator()
