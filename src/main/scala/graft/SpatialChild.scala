@@ -21,6 +21,14 @@ object SpatialChild {
     val cores = args(1).toInt
     val shuffle = args(2).toInt
     val phase = if (args.length > 3) args(3) else "full"
+    // optional 5th arg: parquet path of a pre-generated input. The parent
+    // bench writes the scaling input ONCE at full parallelism; a child leg
+    // then pays a columnar read instead of regenerating the synthetic mix
+    // on its own (possibly single) core — the 1-core 4M leg spent ~25 s
+    // per rep on trig-heavy generation OUTSIDE the measured window but
+    // INSIDE the scaling section's budget, halving how many min-of-N reps
+    // fit. Input prep stays excluded from the measured window either way.
+    val inputPath = if (args.length > 4) args(4) else ""
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shuffle.toString)
@@ -73,6 +81,8 @@ object SpatialChild {
           SpatialConfig()).count()
         val geoms =
           if (phase == "skew") SynthGeo.skewDataset(spark, n)
+          else if (inputPath.nonEmpty)
+            spark.read.parquet(inputPath).as[graft.engine.SubGeom]
           else SynthGeo.dataset(spark, n)
         // materialize the synthetic INPUT before the measured window (the
         // reference's headline number likewise excludes input parsing,
