@@ -395,6 +395,27 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("relation output is invariant across cell sizes") {
+    // the cell size is a pure performance knob: covers, first-common-cell
+    // dedup, the level split, and the per-cell buffer+minX sweep must all
+    // compose to the same relation set at ANY grid. Tiny cells stress
+    // multi-cell covers + pair dedup; huge cells put whole towns in one
+    // cell (per-cell buffering + sweep retirement + full-cell shortcut).
+    val s = spark
+    import s.implicits._
+    val geoms = SynthGeo.dataset(s, 15000).cache()
+    val refs = s.emptyDataset[RefEdge]
+    def rels(cs: Long): Seq[(String, String, String)] =
+      SpatialJoin.run(s, geoms, refs, SpatialConfig(cellSize = cs))
+        .as[(String, String, String)].collect().sorted.toSeq
+    val (cfgR, _, _) = SpatialJoin.coverSpec(geoms, SpatialConfig())
+    val base = rels(cfgR.cellSize)
+    assert(base.nonEmpty)
+    for (cs <- Seq(math.max(cfgR.cellSize / 8, 16L), cfgR.cellSize * 64))
+      assert(rels(cs) == base, s"cellSize=$cs diverges from adaptive")
+    geoms.unpersist()
+  }
+
   test("sort-based merge == hash merge == general path on multi-geometries") {
     // the merge stage's two strategies (hash map vs sorted O(1)-state
     // groups, graft.merge=sort) must agree on inputs where pairs actually
