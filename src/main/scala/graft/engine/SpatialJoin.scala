@@ -200,18 +200,26 @@ object SpatialJoin {
     * before its emission loop, so within the single WholeStageCodegen span
     * the packed values are computed once and reused across the row's
     * cells. */
-  private def cellCoverPacked(geoms: Dataset[SubGeom], cfg: SpatialConfig,
+  private[engine] def cellCoverPacked(geoms: Dataset[SubGeom], cfg: SpatialConfig,
       activeLevels: Seq[Int]): (DataFrame, Long) = {
     val padded = padDf(geoms.toDF(), cfg)
     val cs = cfg.cellSize
     val lvls = activeLevels.distinct.sorted
-    val lvlArr = array(lvls.map(lit(_)): _*)
-    val w2 = lit(WORLD_W / 2)
-    val csL = (lit(cs) *
-      expr(s"shiftleft(1L, lvl * $LEVEL_FACTOR_BITS)")).cast("double")
+    val lvlMask = lvls.foldLeft(0)((m, l) => m | (1 << l))
     val encCol = org.apache.spark.sql.GraftInternal.colOf(EncodeGeom(
       org.apache.spark.sql.GraftInternal.exprOf(col("coords")),
       org.apache.spark.sql.GraftInternal.exprOf(col("ringEnds"))))
+    // the whole level-filter/explode + floor + sequence/explode×2 chain is
+    // ONE primitive-long[] expression + ONE explode: the old chain's three
+    // Generate loops and per-row ArrayData/boxing showed GC ≈ CPU in this
+    // stage's profile (BASELINE.md round-2 continuation 5)
+    val cellsCol = org.apache.spark.sql.GraftInternal.colOf(CellListExpr(
+      org.apache.spark.sql.GraftInternal.exprOf(col("minX")),
+      org.apache.spark.sql.GraftInternal.exprOf(col("minY")),
+      org.apache.spark.sql.GraftInternal.exprOf(col("maxX")),
+      org.apache.spark.sql.GraftInternal.exprOf(col("maxY")),
+      org.apache.spark.sql.GraftInternal.exprOf(col("nlvl")),
+      cs, lvlMask, WORLD_W / 2))
     val pre = padded
       .withColumn("nlvl", nlvlCol(cs))
       .select(col("gid"),
@@ -224,20 +232,10 @@ object SpatialJoin {
         (shiftleft(col("maxX").cast("long"), 32)
           .bitwiseOR(col("maxY").cast("long").bitwiseAND(lit(0xffffffffL))))
           .as("bb1"),
-        col("minX"), col("minY"), col("maxX"), col("maxY"), col("nlvl"))
+        cellsCol.as("cells"))
     val exploded = pre
-      .withColumn("lvl", explode(filter(lvlArr, l => l >= col("nlvl"))))
-      .withColumn("cx0", floor((col("minX") + w2) / csL))
-      .withColumn("cx1", floor((col("maxX") + w2) / csL))
-      .withColumn("cy0", floor((col("minY") + w2) / csL))
-      .withColumn("cy1", floor((col("maxY") + w2) / csL))
-      .withColumn("cx", explode(sequence(col("cx0"), col("cx1"))))
-      .withColumn("cy", explode(sequence(col("cy0"), col("cy1"))))
-      .withColumn("cell", shiftleft(col("lvl").cast("long"), CELL_LVL_SHIFT) +
-        (col("cx") + lit(CELL_BIAS)) * lit(1L << CELL_XY_BITS) +
-        (col("cy") + lit(CELL_BIAS)))
-      .select(col("cell"), col("gid"), col("meta"), col("enc"),
-        col("bb0"), col("bb1"))
+      .select(explode(col("cells")).as("cell"), col("gid"), col("meta"),
+        col("enc"), col("bb0"), col("bb1"))
     (exploded, cs)
   }
 

@@ -509,6 +509,36 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packed cover (CellListExpr) matches the SQL cover chain") {
+    // cellCoverPacked feeds the fused kernel's shuffle; this pins its
+    // single-expression cell enumeration (CellEnum.cells + one explode)
+    // to the reference cellCoverSql chain, per (gid, cell) multiset, on
+    // real fixture geometries in predicates AND distance mode
+    val s = spark
+    import s.implicits._
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/datasets/freiburg"), "UTF-8")
+      .getLines().toList
+    val ds = spark.createDataset(lines)
+    val (geoms, _) = Model.parseLines(spark, ds)
+    for (cfg0 <- Seq(SpatialConfig(), SpatialConfig(mode = "distance",
+        withinDist = 5000))) {
+      val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms, cfg0)
+      val (packedDf, _) = SpatialJoin.cellCoverPacked(geoms, cfg, lvls)
+      val (sqlDf, _) = SpatialJoin.cellCover(geoms, cfg, lvls)
+      def multiset(rows: Array[(String, Long)]) =
+        rows.groupBy(identity).map { case (k, v) => (k, v.length) }
+      val got = multiset(packedDf.select("gid", "cell")
+        .collect().map(r => (r.getString(0), r.getLong(1))))
+      val want = multiset(sqlDf.select("gid", "cell")
+        .collect().map(r => (r.getString(0), r.getLong(1))))
+      assert(got == want, s"cfg=$cfg0 " +
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"spurious=${(got.keySet -- want.keySet).take(3)}")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("sessionize splits on 30-minute gaps") {
     val s = spark
     import s.implicits._
