@@ -1242,11 +1242,18 @@ object SpatialJoin {
     // count) so per-task sort volume stays bounded: at 10M geoms the fixed
     // 32-partition sort spilled 2.8 GB; ~100k sub-geometries per kernel
     // task keeps the sorter in memory and the tasks short enough for AQE-
-    // free balance. Never shrinks below the configured parallelism.
+    // free balance. Never shrinks below the configured parallelism, and
+    // never below 2 tasks per available core: kernel task cost varies with
+    // cell content, so 1 task/core has no straggler headroom — interleaved
+    // A/B at 32 cores measured 64 partitions ~5-7% faster than 32 (min
+    // 3.62 vs 3.88 s on the 1M headline) while the 4x/core scaling legs
+    // and the rowHint path are unaffected (they already exceed 2x).
     val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val floorParts =
+      math.max(confParts, 2 * spark.sparkContext.defaultParallelism)
     val kernelParts =
-      if (rowHint > 0) math.max(confParts, (rowHint / 100000L).toInt)
-      else confParts
+      if (rowHint > 0) math.max(floorParts, (rowHint / 100000L).toInt)
+      else floorParts
     // the kernel needs cell GROUPING, not global cell order; the hash
     // variant (spark conf graft.kernel.group=hash, or env
     // GRAFT_KERNEL_GROUP) skips the Tungsten sort and re-groups rows in a
