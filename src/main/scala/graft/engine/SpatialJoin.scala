@@ -201,26 +201,27 @@ object SpatialJoin {
     * the packed values are computed once and reused across the row's
     * cells. */
   private[engine] def cellCoverPacked(geoms: Dataset[SubGeom], cfg: SpatialConfig,
-      activeLevels: Seq[Int]): (DataFrame, Long) = {
-    val padded = padDf(geoms.toDF(), cfg)
+      activeLevels: Seq[Int]): (DataFrame, Long) =
+    (coverFromPacked(packedRows(geoms, cfg), cfg.cellSize, activeLevels),
+      cfg.cellSize)
+
+  /** Packed per-sub-geometry projection (gid, meta, enc, bb0, bb1): the
+    * kernel shuffle row minus the cell key — one row per sub-geometry,
+    * everything the kernel needs. meta packs side b0, kind b1-2, nlvl
+    * b3-7, subId b8-15, nSubs b16-23; bb0/bb1 pack the (distance-mode
+    * padded) bbox ints; enc is the delta-varint coordinate payload.
+    * This is also the persisted layout of [[SpatialIndex]] (the Spark
+    * re-expression of the reference's `-c --cache` preprocessed-geometry
+    * cache, SpatialJoinMain.cpp:57, GeometryCache.cpp): parse, padding,
+    * native-level and payload encoding are all baked in, so a reader can
+    * rebuild any cover with [[coverFromPacked]] alone. */
+  private[engine] def packedRows(geoms: Dataset[SubGeom],
+      cfg: SpatialConfig): DataFrame = {
     val cs = cfg.cellSize
-    val lvls = activeLevels.distinct.sorted
-    val lvlMask = lvls.foldLeft(0)((m, l) => m | (1 << l))
     val encCol = org.apache.spark.sql.GraftInternal.colOf(EncodeGeom(
       org.apache.spark.sql.GraftInternal.exprOf(col("coords")),
       org.apache.spark.sql.GraftInternal.exprOf(col("ringEnds"))))
-    // the whole level-filter/explode + floor + sequence/explode×2 chain is
-    // ONE primitive-long[] expression + ONE explode: the old chain's three
-    // Generate loops and per-row ArrayData/boxing showed GC ≈ CPU in this
-    // stage's profile (BASELINE.md round-2 continuation 5)
-    val cellsCol = org.apache.spark.sql.GraftInternal.colOf(CellListExpr(
-      org.apache.spark.sql.GraftInternal.exprOf(col("minX")),
-      org.apache.spark.sql.GraftInternal.exprOf(col("minY")),
-      org.apache.spark.sql.GraftInternal.exprOf(col("maxX")),
-      org.apache.spark.sql.GraftInternal.exprOf(col("maxY")),
-      org.apache.spark.sql.GraftInternal.exprOf(col("nlvl")),
-      cs, lvlMask, WORLD_W / 2))
-    val pre = padded
+    padDf(geoms.toDF(), cfg)
       .withColumn("nlvl", nlvlCol(cs))
       .select(col("gid"),
         (col("side") + col("kind") * 2 + col("nlvl") * 8 +
@@ -231,12 +232,34 @@ object SpatialJoin {
           .as("bb0"),
         (shiftleft(col("maxX").cast("long"), 32)
           .bitwiseOR(col("maxY").cast("long").bitwiseAND(lit(0xffffffffL))))
-          .as("bb1"),
-        cellsCol.as("cells"))
-    val exploded = pre
-      .select(explode(col("cells")).as("cell"), col("gid"), col("meta"),
-        col("enc"), col("bb0"), col("bb1"))
-    (exploded, cs)
+          .as("bb1"))
+  }
+
+  /** (cell, gid, meta, enc, bb0, bb1) cover over [[packedRows]] output:
+    * bbox ints and native level are recovered from the bb0/bb1/meta
+    * packing (a few codegen'd shifts) and fed to the single-expression
+    * enumeration. The whole level-filter/explode + floor +
+    * sequence/explode×2 chain is ONE primitive-long[] expression + ONE
+    * explode: the old chain's three Generate loops and per-row
+    * ArrayData/boxing showed GC ≈ CPU in this stage's profile
+    * (BASELINE.md round-2 continuation 5). */
+  private[engine] def coverFromPacked(packed: DataFrame, cs: Long,
+      activeLevels: Seq[Int]): DataFrame = {
+    val lvlMask = activeLevels.distinct.foldLeft(0)((m, l) => m | (1 << l))
+    // sign-extended halves via shift pairs: a plain long->int cast throws
+    // under ANSI (Spark 4 default) because the packed word overflows int
+    def hi(c: Column) = shiftright(c, 32).cast("int")
+    def lo(c: Column) = shiftright(shiftleft(c, 32), 32).cast("int")
+    val cellsCol = org.apache.spark.sql.GraftInternal.colOf(CellListExpr(
+      org.apache.spark.sql.GraftInternal.exprOf(hi(col("bb0"))),
+      org.apache.spark.sql.GraftInternal.exprOf(lo(col("bb0"))),
+      org.apache.spark.sql.GraftInternal.exprOf(hi(col("bb1"))),
+      org.apache.spark.sql.GraftInternal.exprOf(lo(col("bb1"))),
+      org.apache.spark.sql.GraftInternal.exprOf(
+        shiftright(col("meta"), 3).bitwiseAND(lit(31))),
+      cs, lvlMask, WORLD_W / 2))
+    packed.select(explode(cellsCol).as("cell"), col("gid"), col("meta"),
+      col("enc"), col("bb0"), col("bb1"))
   }
 
   /** Public cover accessor (e.g. for the streaming stream-static join):
@@ -1164,7 +1187,13 @@ object SpatialJoin {
     * (distance); [[aggregateFromPre]] merges them. */
   def fusedPairs(spark: SparkSession, geoms: Dataset[SubGeom],
       cfg: SpatialConfig, activeLevels: Seq[Int] = null,
-      direct: Boolean = false, rowHint: Long = -1L): DataFrame = {
+      direct: Boolean = false, rowHint: Long = -1L,
+      prePacked: DataFrame = null): DataFrame = {
+    // prePacked: already-packed (gid, meta, enc, bb0, bb1) rows (e.g. a
+    // persisted SpatialIndex) — cover is rebuilt from them and `geoms` is
+    // never touched; requires cellSize + activeLevels resolved.
+    require(prePacked == null || (activeLevels != null && cfg.cellSize > 0),
+      "prePacked needs a resolved cellSize and activeLevels")
     val (cfg2, lvls) =
       if (activeLevels != null && cfg.cellSize > 0) (cfg, activeLevels)
       else { val (c, l, _) = coverSpec(geoms, cfg); (c, l) }
@@ -1214,7 +1243,9 @@ object SpatialJoin {
     // the GRAFT_COVER=gen measurement alternate keeps the per-cover-row
     // packing over the generator's output (identical rows either way).
     val (src, cs) =
-      if (!sys.env.get("GRAFT_COVER").contains("gen"))
+      if (prePacked != null)
+        (coverFromPacked(prePacked, cfg2.cellSize, lvls), cfg2.cellSize)
+      else if (!sys.env.get("GRAFT_COVER").contains("gen"))
         cellCoverPacked(geoms, cfg2, lvls)
       else {
         val (exploded, cs0) = cellCover(geoms, cfg2, lvls)

@@ -95,6 +95,19 @@ object SpatialQueries {
   def spFixture(name: String, cfg: SpatialConfig)(
       s: SparkSession, dir: String): DataFrame = fixtureJoin(s, name, cfg)
 
+  /** Persisted-index surface (reference `-c --cache`, GeometryCache):
+    * write the packed index to a scratch dir, then self-join FROM the
+    * index — identical rows to sp_join_example (pinned by IndexSpec). */
+  def spIndexJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "example_id.txt"
+    val pages = Pages.fromFixtureLines(s, name, fixtureLines(name))
+    val (geoms, refs) = Pages.extract(s, pages)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_index_example").getAbsolutePath
+    SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
+    SpatialIndex.selfJoin(s, path, SpatialConfig())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_project" -> (spProjectPoints _),
     "sp_tiles" -> (spPointTiles _),
@@ -106,7 +119,8 @@ object SpatialQueries {
     "sp_de9im_example" -> spFixture("example_id.txt",
       SpatialConfig(mode = "de9im")),
     "sp_dist_refs" -> spFixture("references",
-      SpatialConfig(mode = "distance", withinDist = 1000))
+      SpatialConfig(mode = "distance", withinDist = 1000)),
+    "sp_index_join" -> (spIndexJoin _)
   )
 
   // the reference meter-distance formula as SQL (Dist.metersPair): int
