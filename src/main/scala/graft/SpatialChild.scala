@@ -13,7 +13,8 @@ import graft.engine.{SpatialConfig, SpatialJoin, SynthGeo}
   * engine. Forking restores t1/t4 to the per-stage CPU ratio.
   *
   * Usage: graft.SpatialChild <nGeoms> <cores> <shufflePartitions> <phase>
-  * phase: full | skew | knn. Prints ONE line: [child] sec=<s> rels=<n>
+  * phase: full | skew | knn | index. Prints ONE line:
+  * [child] sec=<s> rels=<n>
   */
 object SpatialChild {
   def main(args: Array[String]): Unit = {
@@ -97,16 +98,50 @@ object SpatialChild {
         // scaling leg). Resolving the spec here costs two small agg jobs
         // OUTSIDE the window; run() still performs its own stats pass
         // inside the measured window as always.
-        if (!sys.env.get("GRAFT_PLAN_WARM").contains("off")) {
-          val (cfgR, lvlsR, _) =
-            SpatialJoin.coverSpec(geoms, SpatialConfig())
-          SpatialJoin.fusedPairs(spark, SynthGeo.dataset(spark, 20000),
-            cfgR, lvlsR, direct = true).count()
+        if (phase == "index") {
+          // persisted-index leg: the write (parse/pad/encode/stats) runs
+          // OUTSIDE the window; the measured cost is packed-parquet read →
+          // cover → shuffle → kernel. The gap to the `full` leg is what a
+          // query batch saves per reuse of a write-once index.
+          val base = sys.env.getOrElse("GRAFT_LOCAL_DIR",
+            "/dev/shm/graft-spark")
+          val idxPath = s"$base/bench_index_${n}_$cores"
+          graft.engine.SpatialIndex.write(spark, geoms, refs,
+            SpatialConfig(), idxPath)
+          // codegen warmup with the measured plan's literals: a small index
+          // at the SAME cell size compiles the same cover source
+          val meta = graft.engine.SpatialIndex.readMeta(spark, idxPath)
+          val warmCfg = SpatialConfig(cellSize = meta.cellSize)
+          val wPath = idxPath + "_warm"
+          graft.engine.SpatialIndex.write(spark,
+            SynthGeo.dataset(spark, 20000), refs, warmCfg, wPath)
+          graft.engine.SpatialIndex.selfJoin(spark, wPath, warmCfg).count()
+          cpuNs.set(0L)
+          val t0 = System.nanoTime()
+          val c = graft.engine.SpatialIndex
+            .selfJoin(spark, idxPath, SpatialConfig()).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          for (p <- Seq(idxPath, wPath)) {
+            def rm(f: java.io.File): Unit = {
+              val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+              f.delete()
+            }
+            rm(new java.io.File(p))
+          }
+          (dt, c)
+        } else {
+          if (!sys.env.get("GRAFT_PLAN_WARM").contains("off")) {
+            val (cfgR, lvlsR, _) =
+              SpatialJoin.coverSpec(geoms, SpatialConfig())
+            SpatialJoin.fusedPairs(spark, SynthGeo.dataset(spark, 20000),
+              cfgR, lvlsR, direct = true).count()
+          }
+          cpuNs.set(0L)
+          val t0 = System.nanoTime()
+          val c = SpatialJoin.run(spark, geoms, refs,
+            SpatialConfig()).count()
+          ((System.nanoTime() - t0) / 1e9, c)
         }
-        cpuNs.set(0L)
-        val t0 = System.nanoTime()
-        val c = SpatialJoin.run(spark, geoms, refs, SpatialConfig()).count()
-        ((System.nanoTime() - t0) / 1e9, c)
       }
     // stage-completion events arrive on the async listener bus; give it a
     // beat before reading the total (same approach as SpatialBench)
