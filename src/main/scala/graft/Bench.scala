@@ -240,9 +240,18 @@ object Bench {
     // two runs per level and INTERLEAVE the levels (low,high,low,high) so
     // a drifting noise window cannot skew the ratio systematically; 4x
     // partitions per core pack short tasks better at low core counts
+    // per-rep WALL cost including fork/JVM-start/warmup overhead (~60 s on
+    // top of the measured leg at sf0.1): the budget guards must price reps
+    // by what they actually spend, or the pair loop systematically
+    // overruns and starves the extra-high loop (rehearsal #7)
+    var wallLow = 0.0; var wallHigh = 0.0
     def oneRun(cores: Int): (Double, Double) = {
+      val w0 = System.nanoTime()
       val s = forkedRun(nScale, cores, shuffleParts = cores * 4,
         inputPath = scaleInput)._1
+      val w = (System.nanoTime() - w0) / 1e9
+      if (cores == nLow) wallLow = math.max(wallLow, w)
+      else wallHigh = math.max(wallHigh, w)
       (s, lastForkCpu)
     }
     // Interleaved reps, min per level. Host noise only ever INFLATES a
@@ -265,8 +274,11 @@ object Bench {
       (nHigh.toDouble / nLow)
     def scaleSec = (System.nanoTime() - scaleT0) / 1e9
     var rep = 0
+    // the pair loop reserves room for ~3 high-only reps (the cheap lever
+    // below): rehearsal #7 showed it otherwise eats the whole budget and
+    // the extra-high loop never fires
     while (rep < 2 || (rep < 8 && effSoFar < 0.8 &&
-        scaleSec + lows.map(_._1).min + highs.map(_._1).min < scaleBudget)) {
+        scaleSec + wallLow + 4 * wallHigh < scaleBudget)) {
       lows += oneRun(nLow); highs += oneRun(nHigh); rep += 1
     }
     // below-target draws are almost always an inflated HIGH min (the
@@ -278,7 +290,7 @@ object Bench {
     // symmetric error (an inflated LOW min) biases the ratio UPWARD and
     // therefore never triggers this loop.
     while (effSoFar < 0.8 && highs.size < 16 &&
-        scaleSec + highs.map(_._1).min < scaleBudget)
+        scaleSec + wallHigh < scaleBudget)
       highs += oneRun(nHigh)
     val tLow = lows.map(_._1).min
     val tHigh = highs.map(_._1).min
