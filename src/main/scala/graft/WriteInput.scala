@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: pre-write a [[graft.engine.SynthGeo]] bench input as
+  * parquet at full parallelism, so standalone [[SpatialChild]] legs (A/B
+  * experiments outside the Bench harness) can read it instead of
+  * regenerating on their own cores. Usage: WriteInput <nGeoms> <outPath>.
+  */
+object WriteInput {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.engine.SynthGeo.dataset(spark, args(0).toLong)
+      .write.mode("overwrite").parquet(args(1))
+    spark.stop()
+  }
+}
