@@ -60,6 +60,19 @@ object Bench {
     val cmd = new java.util.ArrayList[String]()
     cmd.add(javaBin)
     jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    // each forked leg emulates an executor JVM of exactly `cores` CPUs the
+    // way container cgroups would: GC/JIT/common-pool threads sized to the
+    // leg, not to the 32-CPU host. Without this the 1-core scaling leg
+    // borrows a free 32-thread parallel GC (flattering its wall time, so
+    // the N->4N ratio understates the engine) while the 4-core leg's
+    // oversized GC worker set convoys on this host's expensive page
+    // faults. Interleaved A/B at 4M geoms: low-leg min 45.8->48.4 s
+    // (honest), high-leg min 15.1->14.2 s, same-window efficiency
+    // 0.758->0.852. G1 is pinned because JVM ergonomics would silently
+    // switch the 1-CPU leg to SerialGC — the collector must not vary
+    // across legs of one comparison.
+    cmd.add(s"-XX:ActiveProcessorCount=$cores")
+    cmd.add("-XX:+UseG1GC")
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.SpatialChild")
     cmd.add(nGeoms.toString); cmd.add(cores.toString)
