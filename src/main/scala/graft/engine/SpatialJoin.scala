@@ -34,7 +34,19 @@ final case class SpatialConfig(
       * superset form sits inside the other's subset form is accepted as
       * contained — both without running the exact kernel. Results are
       * invariant; off by default, as in the reference. */
-    useInnerOuter: Boolean = false)
+    useInnerOuter: Boolean = false,
+    /** P5/J4 45°-diag-box pair filter (reference --no-diag-box,
+      * SpatialJoinMain.cpp:93). Output-invariant; on by default. */
+    useDiagBox: Boolean = true,
+    /** P6 oriented-bounding-box pair filter (reference
+      * --no-oriented-envelope, SpatialJoinMain.cpp:91). Output-invariant;
+      * on by default. */
+    useOrientedBox: Boolean = true,
+    /** J8 sweep-skip edge indexes inside exact refinement (reference
+      * --no-fast-sweep-skip, SpatialJoinMain.cpp:95). When false the edge
+      * indexes degenerate to visit-every-edge (same results, linear scans).
+      * On by default. */
+    useFastSweepSkip: Boolean = true)
 
 /** Per-sub-pair refinement output (the staging records of the reference's
   * write* calls, Sweeper.cpp:3579-3955, re-expressed as data). */
@@ -480,11 +492,14 @@ object SpatialJoin {
       cfg: SpatialConfig): DataFrame = {
     val mode = cfg.mode
     val wd = cfg.withinDist
+    val useFss = cfg.useFastSweepSkip
     val schema = flagSchema
     val rdd = cands.queryExecution.toRdd.mapPartitions { rows =>
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
       import org.apache.spark.unsafe.types.UTF8String
+      // J8 kill switch, executor-side (indexes built on refine cache miss)
+      graft.geom.EdgeIndex.enabled = useFss
       val proj = UnsafeProjection.create(schema)
       val out = new SpecificInternalRow(schema)
       val EMPTY = UTF8String.EMPTY_UTF8
@@ -1201,6 +1216,9 @@ object SpatialJoin {
     val wd = cfg.withinDist
     val selfJoin = cfg.selfJoin
     val useIO = cfg.useInnerOuter
+    val useDiag = cfg.useDiagBox
+    val useObb = cfg.useOrientedBox
+    val useFss = cfg.useFastSweepSkip
     // measurement-only knob (wrong results): skip the exact kernel to
     // attribute stage cpu between pairing and refinement
     val dbgSkipRelate =
@@ -1318,6 +1336,9 @@ object SpatialJoin {
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
       import org.apache.spark.unsafe.types.UTF8String
+      // J8 kill switch, executor-side (geometries are decoded and their
+      // edge indexes built inside this partition)
+      graft.geom.EdgeIndex.enabled = useFss
       // hash-group variant: drain the partition into per-cell buffers and
       // replay cell-contiguously — the downstream pump only needs cells to
       // arrive as contiguous blocks, in any cell order
@@ -1439,7 +1460,7 @@ object SpatialJoin {
         if (dbgPairStats) accCellPass.add(1)
         // 45-deg diag-box filter (predicates only: distance pads bboxes but
         // the diag extents are unpadded)
-        if (!distMode &&
+        if (!distMode && useDiag &&
             (p.dMin > q.dMax || q.dMin > p.dMax ||
               p.eMin > q.eMax || q.eMin > p.eMax)) return
         var a = p; var b = q
@@ -1453,7 +1474,7 @@ object SpatialJoin {
         }
         // oriented-bbox filter for big geometries (P6, reference
         // Sweeper.cpp:1605-1608: only when BOTH sides carry an OBB)
-        if (!distMode && a.g.nPoints >= OBB_MIN_POINTS &&
+        if (!distMode && useObb && a.g.nPoints >= OBB_MIN_POINTS &&
             b.g.nPoints >= OBB_MIN_POINTS) {
           val oa = obbOf(a); val ob = obbOf(b)
           if (oa != null && ob != null && !Relate.relate(oa, ob).isect)

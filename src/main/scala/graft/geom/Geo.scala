@@ -391,6 +391,8 @@ final class EdgeIndex(
   /** First index into the short tier whose minX may overlap a query
     * starting at `lo` (i.e. minXs(i) >= lo - maxSpan). */
   def lowerBound(lo: Int): Int = {
+    // degenerate no-skip index (EdgeIndex.enabled = false): every edge
+    if (maxSpan == Int.MaxValue) return 0
     val from = (lo.toLong - maxSpan).max(Int.MinValue).toInt
     var a = 0; var b = minXs.length
     while (a < b) {
@@ -404,8 +406,22 @@ final class EdgeIndex(
 object EdgeIndex {
   private val EMPTY = new Array[Int](0)
 
+  /** J8 kill switch (reference --no-fast-sweep-skip): when false, new
+    * indexes degenerate to visit-every-edge — all mins at Int.MinValue
+    * with an Int.MaxValue span, so lowerBound always answers 0 and no
+    * range scan terminates early. Results are identical; every edge pays
+    * the exact test. Set per-partition by the join kernels from
+    * SpatialConfig.useFastSweepSkip (executor-side, where geometries are
+    * decoded and indexed). */
+  @volatile var enabled: Boolean = true
+
   def build(g: Geo.G, xAxis: Boolean): EdgeIndex = {
     val n = g.edgeCount
+    if (!enabled) {
+      val order = Array.tabulate(n)(identity)
+      val mins = Array.fill(n)(Int.MinValue)
+      return new EdgeIndex(order, mins, Int.MaxValue, EMPTY, EMPTY, EMPTY)
+    }
     // pass 1: spans, to pick the long-edge cutoff (4x mean, min 16)
     var spanSum = 0L
     var e = 0

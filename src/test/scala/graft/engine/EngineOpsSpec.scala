@@ -350,6 +350,77 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(off.nonEmpty)
   }
 
+  test("filter toggles (diag box / OBB / fast-sweep-skip) leave results " +
+      "invariant — reference --no-* flag matrix") {
+    // reference TestMain runs its full filter-combination matrix and
+    // asserts identical output for every combination; same here for the
+    // Spark kernels' P5/J4, P6 and J8 toggles (SpatialJoinMain.cpp:85-97)
+    val s = spark
+    import s.implicits._
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/datasets/freiburg"), "UTF-8")
+      .getLines().toList
+    val ds = spark.createDataset(lines)
+    val (geoms, refs) = Model.parseLines(spark, ds)
+    def rels(cfg: SpatialConfig): Set[String] =
+      SpatialJoin.run(spark, geoms, refs, cfg).collect()
+        .map(r => r.getString(0) + " " + r.getString(1) + " " +
+          r.getString(2)).toSet
+    val base = rels(SpatialConfig(dupMinPoints = 0))
+    assert(base.nonEmpty)
+    for (diag <- Seq(true, false); obb <- Seq(true, false);
+        fss <- Seq(true, false) if diag != true || obb != true || fss != true) {
+      val v = rels(SpatialConfig(dupMinPoints = 0, useDiagBox = diag,
+        useOrientedBox = obb, useFastSweepSkip = fss))
+      assert(v == base, s"diag=$diag obb=$obb fss=$fss: " +
+        s"onlyV=${(v -- base).take(5)} onlyBase=${(base -- v).take(5)}")
+    }
+    // the general path (de9im mode) builds its indexes inside refine —
+    // its J8 seam is separate from the fused kernel's
+    val dBase = rels(SpatialConfig(mode = "de9im", dupMinPoints = 0))
+    val dOff = rels(SpatialConfig(mode = "de9im", dupMinPoints = 0,
+      useFastSweepSkip = false))
+    assert(dOff == dBase && dBase.nonEmpty)
+  }
+
+  test("RelationText: reference writeRel format, custom separators, codecs") {
+    val s = spark
+    import s.implicits._
+    val wkt = Seq(
+      "big\tPOLYGON((0 0,10 0,10 10,0 10,0 0))",
+      "small\tPOLYGON((2 2,3 2,3 3,2 3,2 2))")
+    val (geoms, refs) = Model.parseLines(spark, spark.createDataset(wkt))
+    val cfg = SpatialConfig(dupMinPoints = 0)
+    val rels = SpatialJoin.run(spark, geoms, refs, cfg)
+    val got = RelationText.lines(rels, cfg).collect().toSet
+    // default separators: " <predicate> " (SpatialJoinMain.cpp:68-80)
+    assert(got.contains("big contains small"), got)
+    assert(got.contains("small intersects big"), got)
+    // custom prefix/suffix/separator, like --prefix/--intersects/--suffix
+    val fmt = OutputFormat(prefix = "<", suffix = ">",
+      sepIntersects = "|I|", sepContains = "|C|")
+    val custom = RelationText.lines(rels, cfg, fmt).collect().toSet
+    assert(custom.contains("<big|C|small>"), custom)
+    assert(custom.contains("<small|I|big>"), custom)
+    // distance mode renders std::to_string-style fixed 6 decimals
+    val dCfg = SpatialConfig(mode = "distance", withinDist = 500000.0)
+    val dRels = SpatialJoin.run(spark, geoms, refs, dCfg)
+    val dLines = RelationText.lines(dRels, dCfg).collect()
+    assert(dLines.nonEmpty &&
+      dLines.forall(_.matches(".+\t\\d+\\.\\d{6}\t.+")), dLines.toSeq)
+    // -o out.gz / out.bz2: codec round-trip through the text sink
+    for (ext <- Seq("gz", "bz2")) {
+      val path = java.nio.file.Files.createTempDirectory("graftout")
+        .resolve(s"rels.$ext").toString
+      RelationText.write(rels, path, cfg)
+      val back = spark.read.textFile(path).collect().toSet
+      assert(back == got, s"$ext round-trip mismatch")
+      val files = new java.io.File(path).listFiles()
+      assert(files.exists(_.getName.endsWith(s".txt.$ext")),
+        files.map(_.getName).toSeq)
+    }
+  }
+
   test("fused kernel == general candidates+refine+aggregate pipeline") {
     // the engine has two independent physical pipelines for the same
     // semantics: the fused kernel (dominant path) and the general
