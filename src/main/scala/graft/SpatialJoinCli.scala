@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.engine.{Model, OutputFormat, RelationText, SpatialConfig, SpatialJoin, SubGeom, RefEdge}
+
+/** The reference's CLI entry point re-expressed on Spark (reference
+  * SpatialJoinMain.cpp): line-separated WKT in (stdin, one file, or two
+  * files as the non-self left/right sides), relations out (stdout or
+  * `-o out[.gz|.bz2]`), with the reference's flags:
+  *
+  *   --de9im | --within-distance M        mode selection
+  *   --prefix/--suffix/--intersects/...   output separators
+  *   --no-diag-box / --no-oriented-envelope / --no-fast-sweep-skip /
+  *   --use-inner-outer                    filter toggles (output-invariant)
+  *   --no-geometry-checks                 candidate count only (stderr)
+  *   --num-threads N                      local[N] (a cluster deploy sets
+  *                                        --master via spark-submit instead)
+  *
+  * Not carried over: `-c/--cache` (the reference's on-disk working caches —
+  * Spark's shuffle/storage dirs are native; write-once reusable indexes are
+  * `graft.engine.SpatialIndex`), `--num-caches`/`--cache-max-*` (executor
+  * memory config). Input `.gz`/`.bz2` decompress natively in the text
+  * source. Stdin is a driver-side convenience; file input is the
+  * distributed path.
+  */
+object SpatialJoinCli {
+
+  final case class CliArgs(
+      inputs: Seq[String] = Nil,
+      output: String = "",
+      cfg: SpatialConfig = SpatialConfig(),
+      fmt: OutputFormat = OutputFormat(),
+      noGeometryChecks: Boolean = false,
+      numThreads: Int = 0,
+      verbose: Boolean = false)
+
+  def parseArgs(argv: Seq[String]): CliArgs = {
+    @annotation.tailrec
+    def go(rest: List[String], a: CliArgs): CliArgs = rest match {
+      case Nil => a
+      case ("-o" | "--output") :: v :: t => go(t, a.copy(output = v))
+      case "--de9im" :: t => go(t, a.copy(cfg = a.cfg.copy(mode = "de9im")))
+      case ("--within-distance" | "--within-dist") :: v :: t =>
+        go(t, a.copy(cfg = a.cfg.copy(mode = "distance",
+          withinDist = v.toDouble)))
+      case "--prefix" :: v :: t => go(t, a.copy(fmt = a.fmt.copy(prefix = v)))
+      case "--suffix" :: v :: t => go(t, a.copy(fmt = a.fmt.copy(suffix = v)))
+      case "--intersects" :: v :: t =>
+        go(t, a.copy(fmt = a.fmt.copy(sepIntersects = v)))
+      case "--contains" :: v :: t =>
+        go(t, a.copy(fmt = a.fmt.copy(sepContains = v)))
+      case "--covers" :: v :: t =>
+        go(t, a.copy(fmt = a.fmt.copy(sepCovers = v)))
+      case "--touches" :: v :: t =>
+        go(t, a.copy(fmt = a.fmt.copy(sepTouches = v)))
+      case "--equals" :: v :: t =>
+        go(t, a.copy(fmt = a.fmt.copy(sepEquals = v)))
+      case "--overlaps" :: v :: t =>
+        go(t, a.copy(fmt = a.fmt.copy(sepOverlaps = v)))
+      case "--crosses" :: v :: t =>
+        go(t, a.copy(fmt = a.fmt.copy(sepCrosses = v)))
+      case "--no-diag-box" :: t =>
+        go(t, a.copy(cfg = a.cfg.copy(useDiagBox = false)))
+      case "--no-oriented-envelope" :: t =>
+        go(t, a.copy(cfg = a.cfg.copy(useOrientedBox = false)))
+      case "--no-fast-sweep-skip" :: t =>
+        go(t, a.copy(cfg = a.cfg.copy(useFastSweepSkip = false)))
+      case "--use-inner-outer" :: t =>
+        go(t, a.copy(cfg = a.cfg.copy(useInnerOuter = true)))
+      case "--no-geometry-checks" :: t =>
+        go(t, a.copy(noGeometryChecks = true))
+      case "--num-threads" :: v :: t => go(t, a.copy(numThreads = v.toInt))
+      case ("-v" | "--verbose") :: t => go(t, a.copy(verbose = true))
+      case f :: t if !f.startsWith("-") => go(t, a.copy(inputs = a.inputs :+ f))
+      case f :: _ => throw new IllegalArgumentException(s"unknown flag $f")
+    }
+    val a = go(argv.toList, CliArgs())
+    require(a.inputs.size <= 2, "at most two input files (left/right sides)")
+    a
+  }
+
+  /** Parse inputs into the engine tables. Two files = non-self join with
+    * the file index as the side (reference README: left/right as two file
+    * arguments); line-number default ids continue across the files, like
+    * the reference's sequential read of both inputs. */
+  def readInputs(spark: SparkSession, a: CliArgs)
+      : (Dataset[SubGeom], Dataset[RefEdge], SpatialConfig) = {
+    import spark.implicits._
+    def fileLines(p: String): Dataset[String] = spark.read.textFile(p)
+    // reference README: "If sides are defined, only geometries from
+    // different sides are compared" — per-line side fields switch the
+    // single-input modes to a non-self join
+    def sideCfg(g: Dataset[SubGeom]): SpatialConfig =
+      a.cfg.copy(selfJoin = g.filter(_.side == 1).take(1).isEmpty)
+    (a.inputs match {
+      case Seq() =>
+        val stdin = scala.io.Source.stdin.getLines().toSeq
+        val parsed = Model.parseLines(spark, spark.createDataset(stdin))
+        (parsed, sideCfg(parsed._1))
+      case Seq(one) =>
+        val parsed = Model.parseLines(spark, fileLines(one))
+        (parsed, sideCfg(parsed._1))
+      case Seq(left, right) =>
+        val nLeft = fileLines(left).count()
+        val (gl, rl) = Model.parseLines(spark, fileLines(left))
+        val (gr0, rr) = Model.parseLines(spark, fileLines(right))
+        // default numeric ids on the right continue after the left file;
+        // authored string ids pass through untouched
+        val shift = org.apache.spark.sql.functions.udf { (gid: String) =>
+          gid.toLongOption.fold(gid)(n => (n + nLeft).toString)
+        }
+        val gr = gr0.withColumn("gid", shift(gr0("gid"))).as[SubGeom]
+        (
+          (gl.map(_.copy(side = 0)) unionAll gr.map(_.copy(side = 1)),
+            rl unionAll rr),
+          a.cfg.copy(selfJoin = false))
+    }) match { case ((g, r), cfg) => (g, r, cfg) }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val threads = if (a.numThreads > 0) a.numThreads.toString else "*"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$threads]"))
+      .appName("spatialjoin")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (a.verbose) "INFO" else "WARN")
+    try {
+      val (geoms, refs, cfg) = readInputs(spark, a)
+      if (a.noGeometryChecks) {
+        // reference --no-geometry-checks: only report candidate count
+        val n = SpatialJoin.candidates(spark, geoms, cfg).count()
+        System.err.println(s"[spatialjoin] candidates: $n")
+      } else {
+        val rels = SpatialJoin.run(spark, geoms, refs, cfg)
+        val lines = RelationText.lines(rels, cfg, a.fmt)
+        if (a.output.nonEmpty) RelationText.write(rels, a.output, cfg, a.fmt)
+        else {
+          // stream partitions through the driver without materializing all
+          val it = lines.toLocalIterator()
+          while (it.hasNext) println(it.next())
+        }
+      }
+    } finally spark.stop()
+  }
+}

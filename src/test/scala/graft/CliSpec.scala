@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.engine.{RelationText, SpatialJoin}
+
+/** The CLI entry point (reference SpatialJoinMain.cpp surface): flag
+  * parsing, single-file joins with in-line sides, and the two-file
+  * non-self form. */
+class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("cli-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def fixture(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/datasets/$name")
+    require(in != null, s"missing fixture $name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().toList finally src.close()
+  }
+
+  private def tmpFile(lines: Seq[String]): String = {
+    val p = java.nio.file.Files.createTempFile("cli", ".txt")
+    java.nio.file.Files.write(p,
+      lines.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("parseArgs covers the reference flag surface") {
+    val a = SpatialJoinCli.parseArgs(Seq(
+      "left.txt", "right.txt", "-o", "out.bz2",
+      "--within-distance", "500",
+      "--prefix", "<", "--suffix", ">", "--intersects", "|I|",
+      "--no-diag-box", "--no-oriented-envelope", "--no-fast-sweep-skip",
+      "--use-inner-outer", "--num-threads", "8"))
+    assert(a.inputs == Seq("left.txt", "right.txt"))
+    assert(a.output == "out.bz2")
+    assert(a.cfg.mode == "distance" && a.cfg.withinDist == 500.0)
+    assert(a.fmt.prefix == "<" && a.fmt.suffix == ">" &&
+      a.fmt.sepIntersects == "|I|")
+    assert(!a.cfg.useDiagBox && !a.cfg.useOrientedBox &&
+      !a.cfg.useFastSweepSkip && a.cfg.useInnerOuter)
+    assert(a.numThreads == 8)
+    assert(SpatialJoinCli.parseArgs(Seq("--de9im")).cfg.mode == "de9im")
+    intercept[IllegalArgumentException] {
+      SpatialJoinCli.parseArgs(Seq("--bogus"))
+    }
+    intercept[IllegalArgumentException] {
+      SpatialJoinCli.parseArgs(Seq("a", "b", "c"))
+    }
+  }
+
+  test("single file with in-line sides == non-self semantics") {
+    // example_nonself carries 3-field lines (id, side, wkt): the CLI must
+    // detect the sides and run the non-self discipline automatically
+    val lines = fixture("example_nonself.txt")
+    val file = tmpFile(lines)
+    val a = SpatialJoinCli.parseArgs(Seq(file))
+    val (geoms, refs, cfg) = SpatialJoinCli.readInputs(spark, a)
+    assert(!cfg.selfJoin)
+    val got = RelationText.lines(
+      SpatialJoin.run(spark, geoms, refs, cfg), cfg).collect().toSet
+    assert(got.nonEmpty)
+    // every emitted pair crosses the sides: side-0 ids left only
+    val side1 = lines.filter(_.split("\t")(1) == "1")
+      .map(_.split("\t")(0)).toSet
+    got.foreach { l =>
+      val left = l.split(" ")(0)
+      assert(!side1.contains(left), s"side-1 id on the left: $l")
+    }
+    got
+  }
+
+  test("two files == the same join with the file index as the side") {
+    val lines = fixture("example_nonself.txt")
+    // split by the side field, dropping it (the file position IS the side)
+    def strip(l: String): String = {
+      val p = l.split("\t", 3); p(0) + "\t" + p(2)
+    }
+    val left = tmpFile(lines.filter(_.split("\t")(1) == "0").map(strip))
+    val right = tmpFile(lines.filter(_.split("\t")(1) == "1").map(strip))
+    val a = SpatialJoinCli.parseArgs(Seq(left, right))
+    val (geoms, refs, cfg) = SpatialJoinCli.readInputs(spark, a)
+    assert(!cfg.selfJoin)
+    val twoFile = RelationText.lines(
+      SpatialJoin.run(spark, geoms, refs, cfg), cfg).collect().toSet
+
+    val single = SpatialJoinCli.readInputs(spark,
+      SpatialJoinCli.parseArgs(Seq(tmpFile(lines))))
+    val oneFile = RelationText.lines(
+      SpatialJoin.run(spark, single._1, single._2, single._3),
+      single._3).collect().toSet
+    assert(twoFile == oneFile,
+      s"onlyTwo=${(twoFile -- oneFile).take(5)} " +
+        s"onlyOne=${(oneFile -- twoFile).take(5)}")
+  }
+
+  test("default line-number ids stay unique across two files") {
+    // id-less lines: left gets 1..n, right continues n+1.. (the
+    // reference reads both inputs sequentially into one id space)
+    val left = tmpFile(Seq("POINT(1 1)", "POINT(2 2)"))
+    val right = tmpFile(Seq("POINT(1 1)"))
+    val (geoms, _, _) = SpatialJoinCli.readInputs(spark,
+      SpatialJoinCli.parseArgs(Seq(left, right)))
+    val ids = geoms.collect().map(g => (g.gid, g.side)).toSet
+    assert(ids == Set(("1", 0), ("2", 0), ("3", 1)), ids)
+  }
+}
