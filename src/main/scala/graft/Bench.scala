@@ -59,7 +59,14 @@ object Bench {
       .getInputArguments
     val cmd = new java.util.ArrayList[String]()
     cmd.add(javaBin)
-    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    // strip inherited flags the leg overrides below: a parent collector
+    // flag (e.g. -XX:+UseParallelGC) plus the appended G1 would be a
+    // conflicting-collector startup failure, silently demoting the leg to
+    // the in-process fallback this fork exists to avoid
+    val gcFlag = "-XX:[+-]Use\\w*GC".r
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib") &&
+      !a.startsWith("-XX:ActiveProcessorCount") &&
+      !gcFlag.matches(a)) cmd.add(a))
     // each forked leg emulates an executor JVM of exactly `cores` CPUs the
     // way container cgroups would: GC/JIT/common-pool threads sized to the
     // leg, not to the 32-CPU host. Without this the 1-core scaling leg

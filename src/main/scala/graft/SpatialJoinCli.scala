@@ -81,40 +81,42 @@ object SpatialJoinCli {
 
   /** Parse inputs into the engine tables. Two files = non-self join with
     * the file index as the side (reference README: left/right as two file
-    * arguments); line-number default ids continue across the files, like
-    * the reference's sequential read of both inputs. */
+    * arguments); default line-number ids continue across the files via
+    * parseLines' idOffset (the reference reads both inputs sequentially
+    * into one id space) while authored ids pass through verbatim. The
+    * geometry table comes back persisted: the side probe below and run()'s
+    * own stats pass both reuse the one parse. */
   def readInputs(spark: SparkSession, a: CliArgs)
       : (Dataset[SubGeom], Dataset[RefEdge], SpatialConfig) = {
     import spark.implicits._
     def fileLines(p: String): Dataset[String] = spark.read.textFile(p)
-    // reference README: "If sides are defined, only geometries from
-    // different sides are compared" — per-line side fields switch the
-    // single-input modes to a non-self join
-    def sideCfg(g: Dataset[SubGeom]): SpatialConfig =
-      a.cfg.copy(selfJoin = g.filter(_.side == 1).take(1).isEmpty)
-    (a.inputs match {
+    val ((g0, r), cfg0) = a.inputs match {
       case Seq() =>
         val stdin = scala.io.Source.stdin.getLines().toSeq
-        val parsed = Model.parseLines(spark, spark.createDataset(stdin))
-        (parsed, sideCfg(parsed._1))
+        (Model.parseLines(spark, spark.createDataset(stdin)), a.cfg)
       case Seq(one) =>
-        val parsed = Model.parseLines(spark, fileLines(one))
-        (parsed, sideCfg(parsed._1))
+        (Model.parseLines(spark, fileLines(one)), a.cfg)
       case Seq(left, right) =>
-        val nLeft = fileLines(left).count()
-        val (gl, rl) = Model.parseLines(spark, fileLines(left))
-        val (gr0, rr) = Model.parseLines(spark, fileLines(right))
-        // default numeric ids on the right continue after the left file;
-        // authored string ids pass through untouched
-        val shift = org.apache.spark.sql.functions.udf { (gid: String) =>
-          gid.toLongOption.fold(gid)(n => (n + nLeft).toString)
-        }
-        val gr = gr0.withColumn("gid", shift(gr0("gid"))).as[SubGeom]
-        (
-          (gl.map(_.copy(side = 0)) unionAll gr.map(_.copy(side = 1)),
-            rl unionAll rr),
+        val leftLines = fileLines(left)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nLeft = leftLines.count()
+        val (gl, rl) = Model.parseLines(spark, leftLines)
+        val (gr, rr) = Model.parseLines(spark, fileLines(right), nLeft)
+        // the file position IS the side, for geometries and alias edges
+        ((gl.map(_.copy(side = 0)) union gr.map(_.copy(side = 1)),
+          rl.map(_.copy(side = 0)) union rr.map(_.copy(side = 1))),
           a.cfg.copy(selfJoin = false))
-    }) match { case ((g, r), cfg) => (g, r, cfg) }
+    }
+    val geoms = g0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reference README: "If sides are defined, only geometries from
+    // different sides are compared" — per-line side fields switch the
+    // single-input modes to a non-self join. The probe materializes the
+    // persisted parse that run() then reuses.
+    val cfg =
+      if (!cfg0.selfJoin) cfg0
+      else cfg0.copy(selfJoin = geoms.filter(_.side == 1).take(1).isEmpty)
+    (geoms, r, cfg)
   }
 
   def main(argv: Array[String]): Unit = {
@@ -134,11 +136,10 @@ object SpatialJoinCli {
         System.err.println(s"[spatialjoin] candidates: $n")
       } else {
         val rels = SpatialJoin.run(spark, geoms, refs, cfg)
-        val lines = RelationText.lines(rels, cfg, a.fmt)
         if (a.output.nonEmpty) RelationText.write(rels, a.output, cfg, a.fmt)
         else {
           // stream partitions through the driver without materializing all
-          val it = lines.toLocalIterator()
+          val it = RelationText.lines(rels, cfg, a.fmt).toLocalIterator()
           while (it.hasNext) println(it.next())
         }
       }

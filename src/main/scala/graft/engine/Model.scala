@@ -54,11 +54,15 @@ object Model {
 
   /** Parse a Dataset of raw fixture lines `id \t [side \t] WKT-or-<refs>`
     * into sub-geometries + alias edges. */
-  def parseLines(spark: SparkSession, lines: Dataset[String])
-      : (Dataset[SubGeom], Dataset[RefEdge]) = {
+  /** `idOffset` shifts the default line-number ids (reference semantics
+    * when several inputs are read sequentially into one id space: the
+    * second file's line numbers continue after the first); authored ids
+    * are never touched. */
+  def parseLines(spark: SparkSession, lines: Dataset[String],
+      idOffset: Long = 0L): (Dataset[SubGeom], Dataset[RefEdge]) = {
     import spark.implicits._
     val rows = lines.rdd.zipWithIndex.flatMap { case (l, i) =>
-      Wkt.parseLine(l, i + 1)
+      Wkt.parseLine(l, i + 1 + idOffset)
     }
     val geoms = spark.createDataset(rows.flatMap(subGeomsOf))
     val refs = spark.createDataset(rows.flatMap(refEdgesOf))

@@ -410,10 +410,14 @@ object EdgeIndex {
     * indexes degenerate to visit-every-edge — all mins at Int.MinValue
     * with an Int.MaxValue span, so lowerBound always answers 0 and no
     * range scan terminates early. Results are identical; every edge pays
-    * the exact test. Set per-partition by the join kernels from
-    * SpatialConfig.useFastSweepSkip (executor-side, where geometries are
-    * decoded and indexed). */
-  @volatile var enabled: Boolean = true
+    * the exact test. THREAD-local: each task thread sets it at partition
+    * start (from SpatialConfig.useFastSweepSkip) and a geometry's index is
+    * built on the thread that decodes it, so concurrent jobs with
+    * different settings cannot race each other's builds. */
+  private val enabledTL: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.TRUE)
+  def enabled: Boolean = enabledTL.get()
+  def enabled_=(v: Boolean): Unit = enabledTL.set(v)
 
   def build(g: Geo.G, xAxis: Boolean): EdgeIndex = {
     val n = g.edgeCount

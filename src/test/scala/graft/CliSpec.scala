@@ -107,14 +107,39 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"onlyOne=${(oneFile -- twoFile).take(5)}")
   }
 
-  test("default line-number ids stay unique across two files") {
+  test("default line-number ids stay unique across two files; authored " +
+      "numeric ids pass through verbatim") {
     // id-less lines: left gets 1..n, right continues n+1.. (the
     // reference reads both inputs sequentially into one id space)
     val left = tmpFile(Seq("POINT(1 1)", "POINT(2 2)"))
-    val right = tmpFile(Seq("POINT(1 1)"))
+    val right = tmpFile(Seq("POINT(1 1)", "7\tPOINT(9 9)"))
     val (geoms, _, _) = SpatialJoinCli.readInputs(spark,
       SpatialJoinCli.parseArgs(Seq(left, right)))
     val ids = geoms.collect().map(g => (g.gid, g.side)).toSet
-    assert(ids == Set(("1", 0), ("2", 0), ("3", 1)), ids)
+    assert(ids == Set(("1", 0), ("2", 0), ("3", 1), ("7", 1)), ids)
+  }
+
+  test("<refs> alias lines in the right file resolve on the right side") {
+    // m references p4 by authored id: the fanout must emit m's relations
+    // on the RIGHT side, identically to the side-annotated single file
+    val annotated = Seq(
+      "p1\t0\tPOLYGON((0 0,10 0,10 10,0 10,0 0))",
+      "p4\t1\tPOLYGON((4 4,5 4,5 5,4 5,4 4))",
+      "m\t1\t<p4>")
+    val left = tmpFile(Seq("p1\tPOLYGON((0 0,10 0,10 10,0 10,0 0))"))
+    val right = tmpFile(Seq(
+      "p4\tPOLYGON((4 4,5 4,5 5,4 5,4 4))", "m\t<p4>"))
+    def runOf(inputs: Seq[String]): Set[String] = {
+      val (g, r, cfg) = SpatialJoinCli.readInputs(spark,
+        SpatialJoinCli.parseArgs(inputs))
+      assert(!cfg.selfJoin)
+      RelationText.lines(SpatialJoin.run(spark, g, r, cfg), cfg)
+        .collect().toSet
+    }
+    val one = runOf(Seq(tmpFile(annotated)))
+    val two = runOf(Seq(left, right))
+    assert(two == one,
+      s"onlyTwo=${(two -- one).take(5)} onlyOne=${(one -- two).take(5)}")
+    assert(one.exists(_.matches("p1 \\w+ m")), one)
   }
 }
