@@ -596,10 +596,23 @@ object SpatialJoin {
   /** Duplicate -> reference rewrite (P9, reference Sweeper.cpp:1162-1309):
     * exact-duplicate lines/polygons (same side, kind, coordinates, rings)
     * with at least cfg.dupMinPoints points collapse into alias edges of one
-    * deterministic keeper (min gid/subId). The duplicates are then removed
-    * from the join input and take their relations from the keeper via the
-    * fanout — on OSM-class inputs full of copy-pasted heavy polygons every
-    * duplicate would otherwise pay the full refinement cost. */
+    * deterministic keeper. The duplicates are then removed from the join
+    * input and take their relations from the keeper via the fanout — on
+    * OSM-class inputs full of copy-pasted heavy polygons every duplicate
+    * would otherwise pay the full refinement cost.
+    *
+    * Scan semantics match the reference EXACTLY (Sweeper.cpp:1162-1309,
+    * asserted by its own numReferences tests): within one equal-minX event
+    * block, a per-(type, anchor-count) map holds only the FIRST event; a
+    * later event with the same anchor count is rewritten iff its content
+    * equals that first event's. A block containing two different
+    * geometries with equal point counts therefore rewrites only the first
+    * one's duplicates — the reference's multitests/collectiontests counts
+    * (7/11, one below the content-complete 8/12) come from exactly this
+    * collision, and matching them requires reproducing the miss. The
+    * reference's in-block tie order is its event-sort insertion order
+    * (= input line order in its tests); reproduced here by the
+    * length-prefixed gid sort (line-number ids compare numerically). */
   def dupEdges(spark: SparkSession, geoms: Dataset[SubGeom],
       cfg: SpatialConfig): Dataset[RefEdge] = {
     import spark.implicits._
@@ -618,20 +631,26 @@ object SpatialJoin {
       size(col("coords")) === 4 && col("subId") === 0 && singleBox
     val simplePoly = col("kind") === 2 && col("subId") === 0 &&
       size(col("ringEnds")) === 1 && size(col("coords")) < 20 && singleBox
+    // group on (side, kind, minX block, anchor count) — the reference's
+    // collision key — carrying only a 64-bit content fingerprint instead
+    // of the full coordinate arrays through the shuffle (the reference
+    // compares full content; xxhash64 equality stands in for it, collision
+    // odds ~2^-64 per block)
     geoms.toDF()
       .filter(col("kind") =!= 0 && !simpleLine && !simplePoly &&
         size(col("coords")) >= cfg.dupMinPoints * 2)
-      .groupBy(col("side"), col("kind"), col("coords"), col("ringEnds"))
-      .agg(collect_list(struct(col("gid"), col("subId"), col("nSubs")))
-        .as("ms"))
+      .groupBy(col("side"), col("kind"), col("minX"),
+        (size(col("coords")) / 2).as("anchors"))
+      .agg(collect_list(struct(col("gid"), col("subId"), col("nSubs"),
+        xxhash64(col("coords"), col("ringEnds")).as("ch"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(col("side"), col("ms"))
-      .as[(Int, Seq[(String, Int, Int)])]
+      .as[(Int, Seq[(String, Int, Int, Long)])]
       .flatMap { case (side, ms) =>
-        val sorted = ms.sortBy(m => (m._1, m._2))
-        val keeper = sorted.head
-        sorted.tail.map(d =>
-          RefEdge(d._1, side, keeper._1, d._2, d._3, keeper._2))
+        val sorted = ms.sortBy(m => (m._1.length, m._1, m._2))
+        val rep = sorted.head
+        sorted.tail.filter(_._4 == rep._4).map(d =>
+          RefEdge(d._1, side, rep._1, d._2, d._3, rep._2))
       }
   }
 

@@ -121,10 +121,19 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Decisive detail: 3306.36 is BELOW the exact minimum over ALL
     // candidate point pairs of both boundaries under the documented
     // meter rule, so no per-pair conversion of these geometries can
-    // produce it — the value must come from an approximation inside the
-    // util submodule's XSortedPolygon withinDist (e.g. a maxSegLen
-    // chunk-box corner used as a lower bound), and that code is absent
-    // from the reference checkout (no egress to fetch it). Asserted to
+    // produce it. Round-3 re-investigation went further: (a) an
+    // exhaustive scan over EVERY cross pairing of {segment endpoints,
+    // int-truncated projections} for every near segment pair — including
+    // deliberately mismatched pairings — under the float-cast meter rule
+    // bottoms out at 3306.62, and at 3306.51 with exact doubles; (b)
+    // per-candidate meter minimization (min over METERS rather than
+    // converting the euclidean argmin) changes nothing ≥ 3306.50; (c)
+    // Vincenty/WGS84 gives 3305.22, sphere-haversine 3306.55 — nothing
+    // lands in 3306.36x; (d) the value survives the reference's own
+    // noFastSweep toggle (TestMain cfgs), which sets maxSegLen = int-max,
+    // so it is NOT a chunk-box artifact either. The producing code is the
+    // util submodule's withinDist internals, absent from the checkout
+    // (the submodule dir is empty, no egress to fetch it). Asserted to
     // 0.25 m; the engine uses the documented mean-latitude rule
     // (Dist.metersPairD) with exact double interior projections.
     val rels = relations("freiburg", "dist5000")
@@ -137,25 +146,25 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ---- numReferences parity (reference TestMain, DUPLICATE_REMOVAL=0,
   // useBoxIds branch): authored <ref> edges + P9 duplicate rewrites.
   //
-  // multitests / collectiontests: the reference reports exactly ONE edge
-  // fewer (7/11) than the full set of exact-duplicate sub-geometries this
-  // engine finds (8/12). Every duplicate group in those fixtures was
-  // verified by hand to contain only identical eligible members, so the
-  // content-complete count is 8/12; the reference's miss comes from its
-  // one-slot-per-anchor-count scan over sweep-event order inside equal-minX
-  // blocks (Sweeper.cpp:1228-1262), whose tie order is not recoverable from
-  // outside. Relations are unaffected either way (a missed rewrite just
-  // computes the pair exactly); both values are asserted below.
+  // These are the reference's OWN asserted counts, including the
+  // multitests/collectiontests values (7/11) that sit one BELOW the
+  // content-complete duplicate count (8/12): the reference's per-block
+  // anchor-count map keeps only the first event per point count
+  // (Sweeper.cpp:1228-1262), so a block holding two different geometries
+  // with equal point counts rewrites only the first one's duplicates.
+  // dupEdges reproduces that scan (see its scaladoc). Relations are
+  // unaffected either way (a missed rewrite just computes the pair
+  // exactly).
   private val numReferences = Seq(
-    ("freiburg", 3, 3), ("brandenburg", 7, 7), ("brandenburg_nonself", 7, 7),
-    ("brandenburg_test", 0, 0), ("collectiontests", 11, 12),
-    ("multitests", 7, 8), ("references", 16, 16), ("bawue", 1, 1),
-    ("coverfail", 0, 0), ("touchfail", 0, 0), ("touchwayfail", 0, 0),
-    ("simpleareafail", 0, 0), ("touchfail2", 0, 0), ("boxidfail", 0, 0),
-    ("boxidfail2", 0, 0), ("boxidfail3", 0, 0))
+    ("freiburg", 3), ("brandenburg", 7), ("brandenburg_nonself", 7),
+    ("brandenburg_test", 0), ("collectiontests", 11),
+    ("multitests", 7), ("references", 16), ("bawue", 1),
+    ("coverfail", 0), ("touchfail", 0), ("touchwayfail", 0),
+    ("simpleareafail", 0), ("touchfail2", 0), ("boxidfail", 0),
+    ("boxidfail2", 0), ("boxidfail3", 0))
 
-  for ((ds, refExpected, mine) <- numReferences) {
-    test(s"$ds numReferences == $mine (reference asserts $refExpected)") {
+  for ((ds, refExpected) <- numReferences) {
+    test(s"$ds numReferences == $refExpected (the reference's own count)") {
       val lines = resource(s"/datasets/$ds")
       val strDs = spark.createDataset(lines)(
         org.apache.spark.sql.Encoders.STRING)
@@ -163,8 +172,8 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       val authored = refs.count()
       val dups = SpatialJoin.dupEdges(spark, geoms,
         SpatialConfig(dupMinPoints = 0)).count()
-      assert(authored + dups == mine,
-        s"authored=$authored dups=$dups expected=$mine (ref: $refExpected)")
+      assert(authored + dups == refExpected,
+        s"authored=$authored dups=$dups expected=$refExpected")
     }
   }
 
