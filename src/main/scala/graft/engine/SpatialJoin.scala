@@ -46,7 +46,14 @@ final case class SpatialConfig(
       * --no-fast-sweep-skip, SpatialJoinMain.cpp:95). When false the edge
       * indexes degenerate to visit-every-edge (same results, linear scans).
       * On by default. */
-    useFastSweepSkip: Boolean = true)
+    useFastSweepSkip: Boolean = true,
+    /** Full-cell decide shortcut — this engine's analogue of the
+      * reference's boxId containment accept (--no-box-ids,
+      * SpatialJoinMain.cpp:213; BoxIds.h:261-351 used at
+      * Sweeper.cpp:1670-1690): a geometry strictly inside a cell that is
+      * entirely interior to a polygon is accepted as contained without
+      * the exact kernel. Output-invariant; on by default. */
+    useBoxIds: Boolean = true)
 
 /** Per-sub-pair refinement output (the staging records of the reference's
   * write* calls, Sweeper.cpp:3579-3955, re-expressed as data). */
@@ -414,7 +421,7 @@ object SpatialJoin {
     (cfg.copy(cellSize = cs), lvls, bigMultis)
   }
 
-  /** Candidate sub-geometry pairs for the NON-fused path (de9im mode, <ref>
+  /** Candidate sub-geometry pairs for the NON-fused path (<ref>
     * fanout, >63-part multis): multi-level cell equi-join — payloads ride
     * through the shuffle, output cell-grouped for refine's per-cell cache;
     * each pair exactly once (first common cell at level max(nlvlA,nlvlB)). */
@@ -995,8 +1002,8 @@ object SpatialJoin {
 
   // ------------------------------------------------------------ fused path
   //
-  // For the dominant case (no <ref> aliases, no >63-part multis, predicates
-  // or distance mode) the whole inner join runs as ONE kernel over a single
+  // For the dominant case (no <ref> aliases, no >63-part multis — any
+  // mode) the whole inner join runs as ONE kernel over a single
   // cell-shuffled, cell-sorted stream: per-cell pairing (with bbox, 45-deg
   // diag-box [reference Sweeper.cpp:67-68,3561] and first-common-cell dedup
   // checks), exact refinement, and in-kernel partial aggregation into a
@@ -1029,6 +1036,62 @@ object SpatialJoin {
     StructField("gidA", StringType, nullable = false),
     StructField("gidB", StringType, nullable = false),
     StructField("dist", DoubleType, nullable = false)))
+
+  /** de9im-mode partial row: the 9-cell matrix packed into one long
+    * (see [[packMat]]), merged downstream by a codegen'd bit_or. */
+  private val de9imRowSchema = StructType(Seq(
+    StructField("gidA", StringType, nullable = false),
+    StructField("gidB", StringType, nullable = false),
+    StructField("mat", LongType, nullable = false)))
+
+  private val de9imRelSchema = StructType(Seq(
+    StructField("a_id", StringType, nullable = false),
+    StructField("de9im", StringType, nullable = false),
+    StructField("b_id", StringType, nullable = false)))
+
+  /** DE-9IM matrix packed into one long: 3 bits per cell, row-major,
+    * cell values encoded unary-monotone (F=000, '0'=001, '1'=011,
+    * '2'=111) so the reference's cellwise-MAX merge
+    * (DE9IMatrix::operator+=, used Sweeper.cpp:823-856) becomes a
+    * bitwise OR — the whole multi-sub merge stays one codegen'd
+    * bit_or aggregate instead of a typed mapGroups. */
+  private[engine] def packMat(m: Relate.Mat): Long = {
+    var p = 0L
+    var i = 0
+    while (i < 9) {
+      val v = m(i)
+      if (v >= 0) p |= ((1L << (v + 1)) - 1) << (3 * i)
+      i += 1
+    }
+    p
+  }
+
+  private val MAT_T = Array(0, 3, 6, 1, 4, 7, 2, 5, 8)
+
+  /** Packed matrix -> 9-char string (optionally transposed for the
+    * reverse direction of a self join). */
+  private[engine] def matStrFromPacked(p: Long, transposed: Boolean)
+      : String = {
+    val cs = new Array[Char](9)
+    var i = 0
+    while (i < 9) {
+      val cell = ((p >>> (3 * (if (transposed) MAT_T(i) else i))) & 7L).toInt
+      cs(i) = cell match {
+        case 0 => 'F'; case 1 => '0'; case 3 => '1'; case _ => '2'
+      }
+      i += 1
+    }
+    new String(cs)
+  }
+
+  /** Same decode as a pure Column over the packed long (bit_count maps
+    * the unary cell 0/1/3/7 to an index into "F012"), so the de9im
+    * merge stage stays inside whole-stage codegen end to end. */
+  private def matStrCol(matCol: String, transposed: Boolean): Column = {
+    val order = if (transposed) MAT_T.toSeq else (0 until 9)
+    concat(order.map(i => expr(
+      s"substring('F012', bit_count(shiftright($matCol, ${3 * i}) & 7L) + 1, 1)")): _*)
+  }
 
   private[engine] val relRowSchema = StructType(Seq(
     StructField("a_id", StringType, nullable = false),
@@ -1077,10 +1140,14 @@ object SpatialJoin {
   /** Expands (a, b, emission mask) / (a, b, dist) into final relation
     * InternalRows, one per writeNext() call, reusing one projection buffer.
     * Instantiate per partition. */
-  private final class RelEmitter(distMode: Boolean) {
+  private final class RelEmitter(distMode: Boolean,
+      de9imMode: Boolean = false) {
     import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
     import org.apache.spark.unsafe.types.UTF8String
-    private val schema = if (distMode) distRelSchema else relRowSchema
+    private val schema =
+      if (distMode) distRelSchema
+      else if (de9imMode) de9imRelSchema
+      else relRowSchema
     private val out = new SpecificInternalRow(schema)
     private val proj = UnsafeProjection.create(schema)
     private val preds = Array("intersects", "equals", "covers", "contains",
@@ -1088,6 +1155,7 @@ object SpatialJoin {
     private var mask = 0
     private var a: UTF8String = _
     private var b: UTF8String = _
+    private var matL = 0L
     def load(a0: UTF8String, b0: UTF8String, m: Int): Unit = {
       a = a0; b = b0; mask = m
     }
@@ -1095,13 +1163,22 @@ object SpatialJoin {
         bothDirs: Boolean): Unit = {
       a = a0; b = b0; out.setDouble(1, d); mask = if (bothDirs) 3 else 1
     }
+    /** de9im: slot 0 = A->B with the matrix as computed, slot 1 = B->A
+      * with its transpose (self mode only). */
+    def loadMat(a0: UTF8String, b0: UTF8String, m: Long,
+        bothDirs: Boolean): Unit = {
+      a = a0; b = b0; matL = m; mask = if (bothDirs) 3 else 1
+    }
     def hasRow: Boolean = mask != 0
     def writeNext(): org.apache.spark.sql.catalyst.InternalRow = {
       val slot = java.lang.Integer.numberOfTrailingZeros(mask)
       mask &= mask - 1
       if ((slot & 1) == 0) { out.update(0, a); out.update(2, b) }
       else { out.update(0, b); out.update(2, a) }
-      if (!distMode) out.update(1, preds(slot >> 1))
+      if (de9imMode)
+        out.update(1, UTF8String.fromString(
+          matStrFromPacked(matL, transposed = (slot & 1) == 1)))
+      else if (!distMode) out.update(1, preds(slot >> 1))
       proj(out)
     }
   }
@@ -1144,6 +1221,9 @@ object SpatialJoin {
   @volatile var lastIsectMiss: org.apache.spark.util.LongAccumulator = _
   @volatile var lastKindNs: Array[org.apache.spark.util.LongAccumulator] = _
   @volatile var lastKindN: Array[org.apache.spark.util.LongAccumulator] = _
+  /** numReferences of the LAST run(): authored <ref> edges + P9 duplicate
+    * rewrites (the count the reference's RunStats reports). */
+  @volatile var lastNumReferences: Long = 0L
 
   /** Partial relation state per (gidA, gidB). */
   private final class AggState {
@@ -1154,6 +1234,7 @@ object SpatialJoin {
     var covAM = 0L; var covBM = 0L; var contAM = 0L; var contBM = 0L
     var eqAM = 0L; var eqBM = 0L
     var dist = Double.MaxValue
+    var matL = 0L // de9im mode: packed matrix OR-merge (see packMat)
 
     def reset(): Unit = {
       nA = 0; nB = 0; maxSubA = 0; maxSubB = 0
@@ -1163,6 +1244,7 @@ object SpatialJoin {
       covAM = 0L; covBM = 0L; contAM = 0L; contBM = 0L
       eqAM = 0L; eqBM = 0L
       dist = Double.MaxValue
+      matL = 0L
     }
   }
 
@@ -1232,10 +1314,12 @@ object SpatialJoin {
       if (activeLevels != null && cfg.cellSize > 0) (cfg, activeLevels)
       else { val (c, l, _) = coverSpec(geoms, cfg); (c, l) }
     val distMode = cfg.mode == "distance"
+    val de9imMode = cfg.mode == "de9im"
     val wd = cfg.withinDist
     val selfJoin = cfg.selfJoin
     val useIO = cfg.useInnerOuter
     val useDiag = cfg.useDiagBox
+    val useBox = cfg.useBoxIds
     val useObb = cfg.useOrientedBox
     val useFss = cfg.useFastSweepSkip
     // measurement-only knob (wrong results): skip the exact kernel to
@@ -1247,7 +1331,8 @@ object SpatialJoin {
     val dbgTimeKinds =
       sys.env.get("GRAFT_KERNEL_DEBUG").contains("timekinds")
     val dbgPairStats =
-      sys.env.get("GRAFT_KERNEL_DEBUG").exists(_.contains("pairstats"))
+      sys.env.get("GRAFT_KERNEL_DEBUG").exists(_.contains("pairstats")) ||
+        spark.conf.getOption("graft.kernel.pairstats").contains("true")
     val accBboxPass = spark.sparkContext.longAccumulator("graft.bboxPass")
     val accCellPass = spark.sparkContext.longAccumulator("graft.cellPass")
     val accIsectMiss = spark.sparkContext.longAccumulator("graft.isectMiss")
@@ -1265,10 +1350,18 @@ object SpatialJoin {
     // unique level), so the drain emits FINAL relation rows and the merge
     // shuffle never exists
     val schema =
-      if (direct) { if (distMode) distRelSchema else relRowSchema }
+      if (direct) {
+        if (distMode) distRelSchema
+        else if (de9imMode) de9imRelSchema
+        else relRowSchema
+      }
       else if (distMode) distRowSchema
+      else if (de9imMode) de9imRowSchema
       else aggRowSchema
-    val stateSchema = if (distMode) distRowSchema else aggRowSchema
+    val stateSchema =
+      if (distMode) distRowSchema
+      else if (de9imMode) de9imRowSchema
+      else aggRowSchema
 
     // narrow shuffle rows: UnsafeRow spends a full 8-byte word per field,
     // so the five small ints pack into one `meta` int (side b0, kind b1-2,
@@ -1505,11 +1598,29 @@ object SpatialJoin {
             val s = stateOf(a.gid, b.gid)
             if (d < s.dist) s.dist = d
           }
-        } else if (a.kind == 2 && insideRect(b) && isCellFull(a)) {
+        } else if (de9imMode) {
+          // full matrix: the containment decide-shortcuts can't speak
+          // de9im (they'd have to synthesize kind-dependent matrices), so
+          // only the DISJOINT rejects above apply — disjoint pairs emit
+          // nothing in de9im mode, exactly like the predicates path
+          if (useIO && (a.kind == 2 || b.kind == 2)) {
+            if (a.kind == 2) ioPrep(a)
+            if (b.kind == 2) ioPrep(b)
+            if (a.ioOuter != null || b.ioOuter != null) {
+              val aS = if (a.ioOuter != null) a.ioOuter else a.g
+              val bS = if (b.ioOuter != null) b.ioOuter else b.g
+              if (!Relate.relate(aS, bS).isect) { accDecided.add(1); return }
+            }
+          }
+          accChecks.add(1)
+          val r = Relate.relate(a.g, b.g)
+          if (r.isect)
+            stateOf(a.gid, b.gid).matL |= packMat(Relate.de9im(a.g, b.g))
+        } else if (useBox && a.kind == 2 && insideRect(b) && isCellFull(a)) {
           // decide shortcut (reference boxId full-cell accept,
-          // BoxIds.h:261-351 used at Sweeper.cpp:1670-1690): b lies
-          // strictly inside a cell that is entirely interior to polygon a
-          // -> a contains b, no exact kernel
+          // BoxIds.h:261-351 used at Sweeper.cpp:1670-1690; kill switch
+          // --no-box-ids): b lies strictly inside a cell that is entirely
+          // interior to polygon a -> a contains b, no exact kernel
           accDecided.add(1)
           val s = stateOf(a.gid, b.gid)
           s.nA = a.nSubs; s.nB = b.nSubs
@@ -1518,7 +1629,7 @@ object SpatialJoin {
           s.isect = true; s.anyNotTouch = true; s.anyNotCross = true
           s.covBM |= 1L << b.subId
           s.contBM |= 1L << b.subId
-        } else if (b.kind == 2 && insideRect(a) && isCellFull(b)) {
+        } else if (useBox && b.kind == 2 && insideRect(a) && isCellFull(b)) {
           accDecided.add(1)
           val s = stateOf(a.gid, b.gid)
           s.nA = a.nSubs; s.nB = b.nSubs
@@ -1639,6 +1750,7 @@ object SpatialJoin {
         out.update(0, k.a)
         out.update(1, k.b)
         if (distMode) out.setDouble(2, s.dist)
+        else if (de9imMode) out.setLong(2, s.matL)
         else {
           out.setLong(2, packState(s))
           out.setLong(3, s.covAM); out.setLong(4, s.covBM)
@@ -1739,13 +1851,15 @@ object SpatialJoin {
           val e = pairIt.next(); writeState(e.getKey, e.getValue)
         }
       } else {
-        val em = new RelEmitter(distMode)
+        val em = new RelEmitter(distMode, de9imMode)
         new Iterator[InternalRow] {
           private def fill(): Unit =
             while (!em.hasRow && pairIt.hasNext) {
               val e = pairIt.next()
               if (distMode)
                 em.loadDist(e.getKey.a, e.getKey.b, e.getValue.dist, selfJoin)
+              else if (de9imMode)
+                em.loadMat(e.getKey.a, e.getKey.b, e.getValue.matL, selfJoin)
               else
                 em.load(e.getKey.a, e.getKey.b,
                   emissionMask(e.getValue, selfJoin))
@@ -1769,6 +1883,24 @@ object SpatialJoin {
       val rels =
         if (cfg.selfJoin)
           fwd.union(agg.select(col("gidB").as("a_id"), col("dist"),
+            col("gidA").as("b_id")))
+        else fwd
+      return rels.distinct()
+    }
+    if (cfg.mode == "de9im") {
+      // the unary-packed matrix (see packMat) makes the multi-sub merge a
+      // plain bit_or hash aggregate and the string decode a codegen'd
+      // projection — the whole stage stays in whole-stage codegen (the old
+      // general-path groupByKey.mapGroups decoded strings per row)
+      val agg = pre.groupBy(col("gidA"), col("gidB"))
+        .agg(expr("bit_or(mat)").as("mat"))
+      val fwd = agg.select(col("gidA").as("a_id"),
+        matStrCol("mat", transposed = false).as("de9im"),
+        col("gidB").as("b_id"))
+      val rels =
+        if (cfg.selfJoin)
+          fwd.union(agg.select(col("gidB").as("a_id"),
+            matStrCol("mat", transposed = true).as("de9im"),
             col("gidA").as("b_id")))
         else fwd
       return rels.distinct()
@@ -1984,6 +2116,7 @@ object SpatialJoin {
     spark.sparkContext.setCallSite("graft.refs")
     val edges = refs.collect() ++ autoEdges
     spark.sparkContext.clearCallSite()
+    lastNumReferences = edges.length.toLong
     // drop duplicate sub-geometries from the join input: their relations
     // come from the keeper via fanout
     val g =
@@ -2005,7 +2138,7 @@ object SpatialJoin {
           levelFor(st.getLong(mnIdx + 1), cs))
       }.distinct.sorted
 
-    if (edges.isEmpty && !bigMultis && cfg.mode != "de9im") {
+    if (edges.isEmpty && !bigMultis) {
       // dominant case: fused kernel (see fusedPairs). When the stats pass
       // proves the input is entirely single-sub, every pair completes
       // inside the kernel (one processPair globally per pair), so the

@@ -369,10 +369,11 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = rels(SpatialConfig(dupMinPoints = 0))
     assert(base.nonEmpty)
     for (diag <- Seq(true, false); obb <- Seq(true, false);
-        fss <- Seq(true, false) if diag != true || obb != true || fss != true) {
+        fss <- Seq(true, false); box <- Seq(true, false)
+        if !(diag && obb && fss && box)) {
       val v = rels(SpatialConfig(dupMinPoints = 0, useDiagBox = diag,
-        useOrientedBox = obb, useFastSweepSkip = fss))
-      assert(v == base, s"diag=$diag obb=$obb fss=$fss: " +
+        useOrientedBox = obb, useFastSweepSkip = fss, useBoxIds = box))
+      assert(v == base, s"diag=$diag obb=$obb fss=$fss box=$box: " +
         s"onlyV=${(v -- base).take(5)} onlyBase=${(base -- v).take(5)}")
     }
     // the general path (de9im mode) builds its indexes inside refine —
@@ -432,22 +433,24 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def rels(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
       df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .toSet
+    def valCol(cfg: SpatialConfig): String = cfg.mode match {
+      case "distance" => "dist"
+      case "de9im" => "de9im"
+      case _ => "predicate"
+    }
     for (cfg0 <- Seq(SpatialConfig(dupMinPoints = -1),
         SpatialConfig(mode = "distance", withinDist = 2500,
-          dupMinPoints = -1))) {
+          dupMinPoints = -1),
+        SpatialConfig(mode = "de9im", dupMinPoints = -1))) {
       val geoms = SynthGeo.dataset(s, 4000).cache()
       val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms, cfg0)
       val fused = rels(SpatialJoin.aggregateFromPre(s,
         SpatialJoin.fusedPairs(s, geoms, cfg, lvls), cfg)
-        .selectExpr("a_id", "cast(" +
-          (if (cfg.mode == "distance") "dist" else "predicate") +
-          " as string)", "b_id"))
+        .selectExpr("a_id", s"cast(${valCol(cfg)} as string)", "b_id"))
       val general = rels(SpatialJoin.aggregate(s,
         SpatialJoin.refine(s, SpatialJoin.candidates(s, geoms, cfg, lvls),
           cfg), cfg, hadRefs = false, mayHaveBigMultis = false)
-        .selectExpr("a_id", "cast(" +
-          (if (cfg.mode == "distance") "dist" else "predicate") +
-          " as string)", "b_id"))
+        .selectExpr("a_id", s"cast(${valCol(cfg)} as string)", "b_id"))
       assert(fused == general,
         s"mode=${cfg0.mode} fusedOnly=${(fused -- general).take(5)} " +
           s"generalOnly=${(general -- fused).take(5)}")
@@ -455,9 +458,7 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.conf.set("graft.kernel.group", "hash")
       val hashed = try rels(SpatialJoin.aggregateFromPre(s,
         SpatialJoin.fusedPairs(s, geoms, cfg, lvls), cfg)
-        .selectExpr("a_id", "cast(" +
-          (if (cfg.mode == "distance") "dist" else "predicate") +
-          " as string)", "b_id"))
+        .selectExpr("a_id", s"cast(${valCol(cfg)} as string)", "b_id"))
       finally s.conf.unset("graft.kernel.group")
       assert(hashed == general, s"mode=${cfg0.mode} hash-group variant " +
         s"diverges: ${(hashed -- general).take(5)}")
@@ -522,6 +523,22 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sortM == general, s"$ds sort merge diverges: " +
         s"+${(sortM -- general).take(5)} -${(general -- sortM).take(5)}")
       assert(hashM.nonEmpty)
+      // de9im on the same multi-sub fixtures: the fused kernel's unary
+      // bit_or matrix merge must equal the general path's cellwise-max
+      // mapGroups merge on pairs whose sub-matrices really merge
+      def matRels(df: org.apache.spark.sql.DataFrame) =
+        df.selectExpr("a_id", "cast(de9im as string)", "b_id")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .toSet
+      val dCfg = cfg.copy(mode = "de9im")
+      val dFused = matRels(SpatialJoin.aggregateFromPre(s,
+        SpatialJoin.fusedPairs(s, geoms, dCfg, lvls), dCfg))
+      val dGeneral = matRels(SpatialJoin.aggregate(s,
+        SpatialJoin.refine(s, SpatialJoin.candidates(s, geoms, dCfg, lvls),
+          dCfg), dCfg, hadRefs = false, mayHaveBigMultis = false))
+      assert(dFused == dGeneral, s"$ds de9im fused/general diverge: " +
+        s"+${(dFused -- dGeneral).take(5)} -${(dGeneral -- dFused).take(5)}")
+      assert(dFused.nonEmpty)
       geoms.unpersist()
     }
   }

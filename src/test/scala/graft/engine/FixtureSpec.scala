@@ -131,11 +131,19 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Vincenty/WGS84 gives 3305.22, sphere-haversine 3306.55 — nothing
     // lands in 3306.36x; (d) the value survives the reference's own
     // noFastSweep toggle (TestMain cfgs), which sets maxSegLen = int-max,
-    // so it is NOT a chunk-box artifact either. The producing code is the
-    // util submodule's withinDist internals, absent from the checkout
-    // (the submodule dir is empty, no egress to fetch it). Asserted to
-    // 0.25 m; the engine uses the documented mean-latitude rule
-    // (Dist.metersPairD) with exact double interior projections.
+    // so it is NOT a chunk-box artifact either; (e) a further round-3
+    // sweep also ruled out the FCC polynomial approximation (3305.33),
+    // spherical law of cosines (3306.62), equirectangular at R=6371000
+    // (3302.92), the scale factor anchored at any bbox corner or any
+    // mean of {pair lats} x {corner lats} across ALL candidate pairs
+    // (closest global-anchor value: 3306.03 at the Herdern box bottom),
+    // eucl/getMaxScaleFactor (3304.69), and projections truncated on
+    // coarser grids (/2,/5,/10,/100 of PREC: 3304.9-3306.58). The
+    // producing code is the util submodule's withinDist internals,
+    // absent from the checkout (the submodule dir is empty, no egress
+    // to fetch it). Asserted to 0.25 m; the engine uses the documented
+    // mean-latitude rule (Dist.metersPairD) with exact double interior
+    // projections.
     val rels = relations("freiburg", "dist5000")
     val row = rels.find(s => s.startsWith("Kappel\t") && s.endsWith("\tHerdern"))
     assert(row.isDefined, "missing Kappel-Herdern distance row")
