@@ -10,9 +10,18 @@ import graft.engine.{Model, OutputFormat, RelationText, SpatialConfig, SpatialJo
   *
   *   --de9im | --within-distance M        mode selection
   *   --prefix/--suffix/--intersects/...   output separators
-  *   --no-diag-box / --no-oriented-envelope / --no-fast-sweep-skip /
-  *   --use-inner-outer                    filter toggles (output-invariant)
+  *   --no-box-ids / --no-diag-box / --no-oriented-envelope /
+  *   --no-fast-sweep-skip / --use-inner-outer
+  *                                        filter toggles (output-invariant)
+  *   --no-surface-area                    accepted no-op (the reference's
+  *                                        area-precompare shortcut has no
+  *                                        engine analogue; results and the
+  *                                        other toggles are unaffected)
   *   --no-geometry-checks                 candidate count only (stderr)
+  *   --stats                              filter-cascade counters + per-
+  *                                        predicate relation counts on
+  *                                        stderr (reference --stats,
+  *                                        SpatialJoinMain.cpp:227)
   *   --num-threads N                      local[N] (a cluster deploy sets
   *                                        --master via spark-submit instead)
   *
@@ -31,13 +40,43 @@ object SpatialJoinCli {
       cfg: SpatialConfig = SpatialConfig(),
       fmt: OutputFormat = OutputFormat(),
       noGeometryChecks: Boolean = false,
+      printStats: Boolean = false,
       numThreads: Int = 0,
       verbose: Boolean = false)
+
+  val usage: String =
+    """spatialjoin-spark [options] [<input> [<input2>]]
+      |
+      |Computes all spatial relations between the input geometries
+      |(line-separated WKT, `id \t [side \t] WKT-or-<refs>`). One input =
+      |self join (unless lines carry sides); two inputs = left/right sides.
+      |No input = read stdin.
+      |
+      |  -o, --output <f>          write relations to f (.gz/.bz2 by suffix)
+      |      --de9im               emit DE-9IM matrices instead of predicates
+      |      --within-distance <m> emit pairs within m meters with distances
+      |      --prefix/--suffix <s> output line decoration
+      |      --intersects/--contains/--covers/--touches/--equals/
+      |      --overlaps/--crosses <s>   per-predicate separators
+      |      --no-box-ids          disable the full-cell decide shortcut
+      |      --no-diag-box         disable the 45-degree diag-box pair filter
+      |      --no-oriented-envelope disable the oriented-bbox pair filter
+      |      --no-fast-sweep-skip  disable the edge-index sweep skip
+      |      --use-inner-outer     enable inner/outer simplification checks
+      |      --no-surface-area     accepted no-op (see scaladoc)
+      |      --no-geometry-checks  report the candidate count only
+      |      --stats               filter-cascade + relation stats on stderr
+      |      --num-threads <n>     local[n]
+      |  -v, --verbose             INFO logging
+      |  -h, --help                this message
+      |""".stripMargin
 
   def parseArgs(argv: Seq[String]): CliArgs = {
     @annotation.tailrec
     def go(rest: List[String], a: CliArgs): CliArgs = rest match {
       case Nil => a
+      case ("-h" | "--help") :: _ =>
+        println(usage); sys.exit(0)
       case ("-o" | "--output") :: v :: t => go(t, a.copy(output = v))
       case "--de9im" :: t => go(t, a.copy(cfg = a.cfg.copy(mode = "de9im")))
       case ("--within-distance" | "--within-dist") :: v :: t =>
@@ -59,6 +98,8 @@ object SpatialJoinCli {
         go(t, a.copy(fmt = a.fmt.copy(sepOverlaps = v)))
       case "--crosses" :: v :: t =>
         go(t, a.copy(fmt = a.fmt.copy(sepCrosses = v)))
+      case "--no-box-ids" :: t =>
+        go(t, a.copy(cfg = a.cfg.copy(useBoxIds = false)))
       case "--no-diag-box" :: t =>
         go(t, a.copy(cfg = a.cfg.copy(useDiagBox = false)))
       case "--no-oriented-envelope" :: t =>
@@ -67,12 +108,18 @@ object SpatialJoinCli {
         go(t, a.copy(cfg = a.cfg.copy(useFastSweepSkip = false)))
       case "--use-inner-outer" :: t =>
         go(t, a.copy(cfg = a.cfg.copy(useInnerOuter = true)))
+      case "--no-surface-area" :: t =>
+        System.err.println("[spatialjoin] --no-surface-area accepted " +
+          "(no-op: no area-precompare shortcut in this engine)")
+        go(t, a)
       case "--no-geometry-checks" :: t =>
         go(t, a.copy(noGeometryChecks = true))
+      case "--stats" :: t => go(t, a.copy(printStats = true))
       case "--num-threads" :: v :: t => go(t, a.copy(numThreads = v.toInt))
       case ("-v" | "--verbose") :: t => go(t, a.copy(verbose = true))
       case f :: t if !f.startsWith("-") => go(t, a.copy(inputs = a.inputs :+ f))
-      case f :: _ => throw new IllegalArgumentException(s"unknown flag $f")
+      case f :: _ =>
+        throw new IllegalArgumentException(s"unknown flag $f\n$usage")
     }
     val a = go(argv.toList, CliArgs())
     require(a.inputs.size <= 2, "at most two input files (left/right sides)")
@@ -80,12 +127,14 @@ object SpatialJoinCli {
   }
 
   /** Parse inputs into the engine tables. Two files = non-self join with
-    * the file index as the side (reference README: left/right as two file
-    * arguments); default line-number ids continue across the files via
-    * parseLines' idOffset (the reference reads both inputs sequentially
-    * into one id space) while authored ids pass through verbatim. The
-    * geometry table comes back persisted: the side probe below and run()'s
-    * own stats pass both reuse the one parse. */
+    * the file index as the DEFAULT side (reference README: left/right as
+    * two file arguments); an explicit per-line side field overrides it,
+    * exactly like the reference (WKTParse.h:139). Default line-number ids
+    * continue across the files via parseLines' idOffset (the reference
+    * reads both inputs sequentially into one id space) while authored ids
+    * pass through verbatim. The geometry table comes back persisted: the
+    * side probe below and run()'s own stats pass both reuse the one
+    * parse. */
   def readInputs(spark: SparkSession, a: CliArgs)
       : (Dataset[SubGeom], Dataset[RefEdge], SpatialConfig) = {
     import spark.implicits._
@@ -100,12 +149,10 @@ object SpatialJoinCli {
         val leftLines = fileLines(left)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nLeft = leftLines.count()
-        val (gl, rl) = Model.parseLines(spark, leftLines)
-        val (gr, rr) = Model.parseLines(spark, fileLines(right), nLeft)
-        // the file position IS the side, for geometries and alias edges
-        ((gl.map(_.copy(side = 0)) union gr.map(_.copy(side = 1)),
-          rl.map(_.copy(side = 0)) union rr.map(_.copy(side = 1))),
-          a.cfg.copy(selfJoin = false))
+        val (gl, rl) = Model.parseLines(spark, leftLines, defaultSide = 0)
+        val (gr, rr) =
+          Model.parseLines(spark, fileLines(right), nLeft, defaultSide = 1)
+        ((gl union gr, rl union rr), a.cfg.copy(selfJoin = false))
     }
     val geoms = g0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -119,6 +166,38 @@ object SpatialJoinCli {
     (geoms, r, cfg)
   }
 
+  /** Reference-style `--stats` report (role of Stats.h:63-324 +
+    * numReferences/relation counters): the fused kernel's filter-cascade
+    * accumulators plus per-predicate relation counts, on stderr. The
+    * cascade counters exist for the fused path; the general path (refs /
+    * >63-sub multis) reports relation counts only. */
+  def printStatsReport(spark: SparkSession,
+      rels: org.apache.spark.sql.DataFrame, cfg: SpatialConfig): Unit = {
+    val e = System.err
+    def v(acc: org.apache.spark.util.LongAccumulator): String =
+      if (acc == null) "n/a" else acc.value.toString
+    e.println("[stats] ---- filter cascade (fused kernel) ----")
+    e.println(s"[stats] pair tests:                ${v(SpatialJoin.lastPairTests)}")
+    e.println(s"[stats] bbox passes:               ${v(SpatialJoin.lastBboxPass)}")
+    e.println(s"[stats] first-common-cell passes:  ${v(SpatialJoin.lastCellPass)}")
+    e.println(s"[stats] decided by shortcuts:      ${v(SpatialJoin.lastDecided)}")
+    e.println(s"[stats] exact geometry checks:     ${v(SpatialJoin.lastExactChecks)}")
+    e.println(s"[stats] non-intersecting after exact: ${v(SpatialJoin.lastIsectMiss)}")
+    e.println(s"[stats] numReferences:             ${SpatialJoin.lastNumReferences}")
+    e.println("[stats] ---- relations ----")
+    if (cfg.mode == "predicates") {
+      import org.apache.spark.sql.functions.count
+      val counts = rels.groupBy("predicate").agg(count("*").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      counts.foreach { case (p, n) =>
+        e.println(f"[stats] $p%-12s $n%d")
+      }
+      e.println(s"[stats] total:        ${counts.map(_._2).sum}")
+    } else {
+      e.println(s"[stats] total (${cfg.mode}): ${rels.count()}")
+    }
+  }
+
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv.toIndexedSeq)
     val threads = if (a.numThreads > 0) a.numThreads.toString else "*"
@@ -128,6 +207,8 @@ object SpatialJoinCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (a.verbose) "INFO" else "WARN")
+    if (a.printStats)
+      spark.conf.set("graft.kernel.pairstats", "true")
     try {
       val (geoms, refs, cfg) = readInputs(spark, a)
       if (a.noGeometryChecks) {
@@ -135,13 +216,20 @@ object SpatialJoinCli {
         val n = SpatialJoin.candidates(spark, geoms, cfg).count()
         System.err.println(s"[spatialjoin] candidates: $n")
       } else {
-        val rels = SpatialJoin.run(spark, geoms, refs, cfg)
+        val rels0 = SpatialJoin.run(spark, geoms, refs, cfg)
+        // --stats reads the output twice (write + counts): persist once
+        val rels =
+          if (a.printStats)
+            rels0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else rels0
         if (a.output.nonEmpty) RelationText.write(rels, a.output, cfg, a.fmt)
         else {
           // stream partitions through the driver without materializing all
           val it = RelationText.lines(rels, cfg, a.fmt).toLocalIterator()
           while (it.hasNext) println(it.next())
         }
+        if (a.printStats)
+          printStatsReport(spark, rels, cfg)
       }
     } finally spark.stop()
   }

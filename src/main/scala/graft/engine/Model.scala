@@ -57,12 +57,15 @@ object Model {
   /** `idOffset` shifts the default line-number ids (reference semantics
     * when several inputs are read sequentially into one id space: the
     * second file's line numbers continue after the first); authored ids
-    * are never touched. */
+    * are never touched. `defaultSide` is the side for lines without an
+    * explicit side field (the file index in two-file mode) — an authored
+    * 3-field side always wins, as in the reference (WKTParse.h:139). */
   def parseLines(spark: SparkSession, lines: Dataset[String],
-      idOffset: Long = 0L): (Dataset[SubGeom], Dataset[RefEdge]) = {
+      idOffset: Long = 0L, defaultSide: Int = 0)
+      : (Dataset[SubGeom], Dataset[RefEdge]) = {
     import spark.implicits._
     val rows = lines.rdd.zipWithIndex.flatMap { case (l, i) =>
-      Wkt.parseLine(l, i + 1 + idOffset)
+      Wkt.parseLine(l, i + 1 + idOffset, defaultSide)
     }
     val geoms = spark.createDataset(rows.flatMap(subGeomsOf))
     val refs = spark.createDataset(rows.flatMap(refEdgesOf))

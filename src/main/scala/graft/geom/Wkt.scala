@@ -24,23 +24,27 @@ object Wkt {
       refs: Array[String]) // alias targets if this row is a <ref,...>
 
   /** Parse one input line (id \t side \t wkt). `lineNo` is the 1-based
-    * default id. */
-  def parseLine(line: String, lineNo: Long): Option[Row] = {
+    * default id; `defaultSide` is used when the line has no side field —
+    * the reference passes the input-file index as this default and lets
+    * an explicit 3-field line override it (WKTParse.h:139 `side =
+    * atoi(c)`), so annotated lines inside two-file inputs keep their
+    * authored sides. */
+  def parseLine(line: String, lineNo: Long, defaultSide: Int = 0)
+      : Option[Row] = {
     if (line.isEmpty) return None
     val t1 = line.indexOf('\t')
     var gid = lineNo.toString
-    var side = 0
+    var side = defaultSide
     var geomStr = line
     if (t1 >= 0) {
       gid = line.substring(0, t1)
       geomStr = line.substring(t1 + 1)
       val t2 = geomStr.indexOf('\t')
       if (t2 >= 0) {
-        val sideStr = geomStr.substring(0, t2).trim
-        if (sideStr == "0" || sideStr == "1") {
-          side = sideStr.toInt
-          geomStr = geomStr.substring(t2 + 1)
-        }
+        // a second tab means the middle field IS the side (WKT and <ref>
+        // payloads never contain tabs); non-numeric parses as 0 like atoi
+        side = geomStr.substring(0, t2).trim.toIntOption.getOrElse(0)
+        geomStr = geomStr.substring(t2 + 1)
       }
     }
     val g = geomStr.trim

@@ -54,12 +54,56 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       !a.cfg.useFastSweepSkip && a.cfg.useInnerOuter)
     assert(a.numThreads == 8)
     assert(SpatialJoinCli.parseArgs(Seq("--de9im")).cfg.mode == "de9im")
+    val b = SpatialJoinCli.parseArgs(Seq(
+      "--no-box-ids", "--stats", "--no-surface-area", "in.txt"))
+    assert(!b.cfg.useBoxIds && b.printStats && b.inputs == Seq("in.txt"))
     intercept[IllegalArgumentException] {
       SpatialJoinCli.parseArgs(Seq("--bogus"))
     }
     intercept[IllegalArgumentException] {
       SpatialJoinCli.parseArgs(Seq("a", "b", "c"))
     }
+  }
+
+  test("explicit per-line sides override the file index in two-file mode") {
+    // the reference passes the file index only as the DEFAULT side
+    // (WKTParse.h:139): a 3-field line inside either file keeps its
+    // authored side. c sits in the RIGHT file but declares side 0, so it
+    // must join side-1 geometries (b) and must NOT join other side-0
+    // geometries (a).
+    val left = tmpFile(Seq("a\tPOLYGON((0 0,10 0,10 10,0 10,0 0))"))
+    val right = tmpFile(Seq(
+      "b\tPOLYGON((1 1,2 1,2 2,1 2,1 1))",
+      "c\t0\tPOLYGON((0.5 0.5,3 0.5,3 3,0.5 3,0.5 0.5))"))
+    val (g, r, cfg) = SpatialJoinCli.readInputs(spark,
+      SpatialJoinCli.parseArgs(Seq(left, right)))
+    assert(!cfg.selfJoin)
+    val got = RelationText.lines(SpatialJoin.run(spark, g, r, cfg), cfg)
+      .collect().toSet
+    assert(got.exists(_.startsWith("c ")), got) // c (side 0) vs b (side 1)
+    assert(!got.exists(l => l.startsWith("a ") && l.endsWith(" c")),
+      s"a-c are both side 0 and must not pair: $got")
+    assert(got.exists(l => l.startsWith("a ") && l.endsWith(" b")), got)
+  }
+
+  test("--stats report prints the cascade counters without disturbing " +
+      "the join output") {
+    val lines = fixture("example_id.txt")
+    val file = tmpFile(lines)
+    spark.conf.set("graft.kernel.pairstats", "true")
+    try {
+      val a = SpatialJoinCli.parseArgs(Seq(file, "--stats"))
+      val (g, r, cfg) = SpatialJoinCli.readInputs(spark, a)
+      val rels = SpatialJoin.run(spark, g, r, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rels.count()
+      assert(n > 0)
+      SpatialJoinCli.printStatsReport(spark, rels, cfg)
+      assert(SpatialJoin.lastPairTests != null &&
+        SpatialJoin.lastPairTests.value > 0)
+      assert(SpatialJoin.lastBboxPass.value > 0) // pairstats conf honored
+      rels.unpersist()
+    } finally spark.conf.unset("graft.kernel.pairstats")
   }
 
   test("single file with in-line sides == non-self semantics") {
