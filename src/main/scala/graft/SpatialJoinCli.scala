@@ -29,8 +29,8 @@ import graft.engine.{Model, OutputFormat, RelationText, SpatialConfig, SpatialJo
   * Spark's shuffle/storage dirs are native; write-once reusable indexes are
   * `graft.engine.SpatialIndex`), `--num-caches`/`--cache-max-*` (executor
   * memory config). Input `.gz`/`.bz2` decompress natively in the text
-  * source. Stdin is a driver-side convenience; file input is the
-  * distributed path.
+  * source. Stdin spools to a temp file in 1 MB
+  * chunks and runs through the same distributed text path as file input.
   */
 object SpatialJoinCli {
 
@@ -141,8 +141,21 @@ object SpatialJoinCli {
     def fileLines(p: String): Dataset[String] = spark.read.textFile(p)
     val ((g0, r), cfg0) = a.inputs match {
       case Seq() =>
-        val stdin = scala.io.Source.stdin.getLines().toSeq
-        (Model.parseLines(spark, spark.createDataset(stdin)), a.cfg)
+        // spool stdin to a temp file in fixed 1 MB chunks and read it back
+        // through the distributed text source — the reference streams
+        // stdin in 1 MB chunks too (SpatialJoinMain.cpp:359-433); fully
+        // materializing a large pipe on the driver would OOM. (Driver-local
+        // temp file: stdin input is inherently a single-host entry point;
+        // cluster deploys pass files.)
+        val tmp = java.nio.file.Files.createTempFile("graft_stdin_", ".wkt")
+        tmp.toFile.deleteOnExit()
+        val out = java.nio.file.Files.newOutputStream(tmp)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = System.in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = System.in.read(buf) }
+        } finally out.close()
+        (Model.parseLines(spark, fileLines(tmp.toString)), a.cfg)
       case Seq(one) =>
         (Model.parseLines(spark, fileLines(one)), a.cfg)
       case Seq(left, right) =>

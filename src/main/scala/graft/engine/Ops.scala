@@ -67,8 +67,17 @@ object Knn {
 
     val byQ = Window.partitionBy(col("q_gid"))
       .orderBy(col("dist2").asc, col("gid").asc)
-    var unresolved = queries0.persist(lvl)
-    var results: DataFrame = null
+    // Iteration hygiene: per-round intermediates are persisted only for the
+    // round and unpersisted once their dependents are materialized; the
+    // carried state (unresolved set, resolved rows) is localCheckpoint'ed —
+    // eager, truncates the per-round lineage so planning cost stays flat
+    // and the returned DataFrame never recomputes the ring search. The
+    // checkpoint blocks are released by the ContextCleaner when the caller
+    // drops the result (standard iterative-algorithm pattern; on a real
+    // cluster with executor churn, set a checkpoint dir and swap in
+    // Dataset.checkpoint).
+    var unresolved = queries0.localCheckpoint()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1L
     var done = false
     while (!done) {
@@ -95,21 +104,23 @@ object Knn {
           (col("nc") === k && col("kd") <= guarantee))
         .select(col("kq"))
         .persist(lvl)
-      val resolvedRows = ranked
+      parts += ranked
         .join(resolvedKeys, col("q_gid") === col("kq"), "left_semi")
         .select(col("q_gid"), col("gid"), col("dist2"), col("rk"))
-        .persist(lvl)
-      results =
-        if (results == null) resolvedRows else results.union(resolvedRows)
+        .localCheckpoint()
       if (wholeWorld) done = true
       else {
-        unresolved = unresolved
+        val next = unresolved
           .join(resolvedKeys, col("q_gid") === col("kq"), "left_anti")
-          .persist(lvl)
-        done = unresolved.isEmpty
+          .localCheckpoint()
+        done = next.isEmpty
+        unresolved = next
       }
+      ranked.unpersist(false)
+      resolvedKeys.unpersist(false)
       r *= 2
     }
-    results
+    cells.unpersist(false)
+    parts.reduce(_.union(_))
   }
 }

@@ -53,7 +53,17 @@ final case class SpatialConfig(
       * Sweeper.cpp:1670-1690): a geometry strictly inside a cell that is
       * entirely interior to a polygon is accepted as contained without
       * the exact kernel. Output-invariant; on by default. */
-    useBoxIds: Boolean = true)
+    useBoxIds: Boolean = true,
+    /** Alias-edge volume the driver is allowed to hold. Authored <ref>
+      * lists and P9 duplicate edges are normally collected once and
+      * broadcast into the fanout (they are authored metadata, tiny next to
+      * the data); an adversarial input — millions of copy-pasted heavy
+      * polygons — would park millions of RefEdges on the driver, so past
+      * this many edges run() switches to the fully distributed fanout:
+      * fixpoint closure by iterated self-join, shuffle joins instead of
+      * broadcast, duplicate drop via anti-join. Results are identical
+      * (asserted by the fixture parity tests). */
+    maxDriverEdges: Int = 1 << 20)
 
 /** Per-sub-pair refinement output (the staging records of the reference's
   * write* calls, Sweeper.cpp:3579-3955, re-expressed as data). */
@@ -105,17 +115,21 @@ object SpatialJoin {
   }
 
   /** bbox padding for within-distance mode (reference getPaddedBoundingBox,
-    * Sweeper.h:350-388); identity otherwise. */
+    * Sweeper.h:350-388); identity otherwise. Pure codegen'd column math —
+    * same double ops as Dist.distFactor (exp/atan/cos all route through
+    * java.lang.Math in generated code, so values are bit-identical to the
+    * former Scala UDF). */
   private def padDf(base: DataFrame, cfg: SpatialConfig): DataFrame =
     if (cfg.withinDist >= 0) {
-      val padFor = udf { (minY: Int, maxY: Int) =>
-        val f = math.max(
-          1.0 / Dist.distFactor(minY / Geo.PREC),
-          1.0 / Dist.distFactor(maxY / Geo.PREC))
-        math.ceil((cfg.withinDist / 2.0) * f * Geo.PREC).toInt
-      }
+      // 1 / cos(lat) at a projected int y (Dist.distFactor inverse)
+      def invF(y: org.apache.spark.sql.Column) = lit(1.0) / cos(
+        atan(exp(y / Geo.PREC * math.Pi / Geo.MERC_HALF)) * 2.0
+          - math.Pi / 2.0)
+      val padFor = ceil(lit(cfg.withinDist / 2.0) *
+        greatest(invF(col("minY")), invF(col("maxY"))) * Geo.PREC)
+        .cast("int")
       base
-        .withColumn("pad", padFor(col("minY"), col("maxY")))
+        .withColumn("pad", padFor)
         .withColumn("minX", col("minX") - col("pad"))
         .withColumn("minY", col("minY") - col("pad"))
         .withColumn("maxX", col("maxX") + col("pad"))
@@ -505,8 +519,14 @@ object SpatialJoin {
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
       import org.apache.spark.unsafe.types.UTF8String
-      // J8 kill switch, executor-side (indexes built on refine cache miss)
+      // J8 kill switch, executor-side (indexes built on refine cache miss).
+      // The ThreadLocal is restored at task end: pooled executor threads
+      // must not leak a toggled-off index into later jobs that build
+      // indexes outside this seam (kNN, distance probes).
       graft.geom.EdgeIndex.enabled = useFss
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+        graft.geom.EdgeIndex.enabled = true)
       val proj = UnsafeProjection.create(schema)
       val out = new SpecificInternalRow(schema)
       val EMPTY = UTF8String.EMPTY_UTF8
@@ -702,13 +722,79 @@ object SpatialJoin {
     edges.map(e => (e.target, e.targetSub)).distinct
       .foreach(t => referersOf(t, Set(t)))
 
+    val tgtDf = spark.createDataset(
+      edges.map(e => (e.target, e.targetSub)).distinct.toSeq)
+      .toDF("t", "ts")
+    val closDf = broadcast(spark.createDataset(
+      closure.toSeq.flatMap { case ((t, ts), rs) =>
+        rs.map(r => (t, ts, r.referer, r.subId, r.nSubs, r.side))
+      }).toDF("c_target", "c_tsub", "c_referer", "c_sub", "c_n", "c_rside"))
+    fanoutWith(spark, flags, closDf, tgtDf, geoms, cfg)
+  }
+
+  /** Distributed fanout for edge sets past cfg.maxDriverEdges: the
+    * transitive closure is a fixpoint of iterated self-joins (authored
+    * nesting depth is tiny, so the loop runs 2-3 rounds), and the fanout
+    * joins stay shuffle joins. Same semantics as [[fanout]]; used by run()
+    * when collecting the edges would strain the driver. */
+  def fanoutDistributed(spark: SparkSession, flags: DataFrame,
+      edges: Dataset[RefEdge], geoms: Dataset[SubGeom],
+      cfg: SpatialConfig): DataFrame = {
+    val e = edges.toDF()
+      .select(col("referer"), col("side"), col("target"), col("subId"),
+        col("nSubs"), col("targetSub"))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // closure fixpoint: an edge u->(R,rSub) composed with R@rSub->(T,ts)
+    // yields u->(T,ts) at u's slot — exactly the driver recursion of
+    // [[fanout]] (reference _refs chains, Sweeper.cpp:2423-2450); distinct
+    // unions converge even on degenerate reference cycles
+    def compose(frontier: DataFrame): DataFrame = {
+      val f = frontier.select(col("referer").as("f_referer"),
+        col("side").as("f_side"), col("target").as("f_target"),
+        col("subId").as("f_sub"), col("nSubs").as("f_n"),
+        col("targetSub").as("f_tsub"))
+      val e2 = e.select(col("referer").as("e_referer"),
+        col("subId").as("e_sub"), col("target").as("e_target"),
+        col("targetSub").as("e_tsub"))
+      f.join(e2, col("f_target") === col("e_referer") &&
+          col("f_tsub") === col("e_sub"))
+        .select(col("f_referer").as("referer"), col("f_side").as("side"),
+          col("e_target").as("target"), col("f_sub").as("subId"),
+          col("f_n").as("nSubs"), col("e_tsub").as("targetSub"))
+    }
+    var clos = e
+    var frontier = e
+    var done = false
+    while (!done) {
+      val next = compose(frontier).except(clos).localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        clos = clos.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    val tgtDf = e.select(col("target").as("t"), col("targetSub").as("ts"))
+      .distinct()
+    val closDf = clos.select(col("target").as("c_target"),
+      col("targetSub").as("c_tsub"), col("referer").as("c_referer"),
+      col("subId").as("c_sub"), col("nSubs").as("c_n"),
+      col("side").as("c_rside"))
+    val out = fanoutWith(spark, flags, closDf, tgtDf, geoms, cfg)
+    e.unpersist(false)
+    out
+  }
+
+  /** Shared fanout tail: expand staged rows through a closure table
+    * (c_target, c_tsub, c_referer, c_sub, c_n, c_rside) and seed
+    * self-relation rows for the referenced targets (t, ts). */
+  private def fanoutWith(spark: SparkSession, flags: DataFrame,
+      closDf: DataFrame, tgtDf: DataFrame, geoms: Dataset[SubGeom],
+      cfg: SpatialConfig): DataFrame = {
+    import spark.implicits._
     // self rows: (target, target) intersect/equal/cover/contain per
     // referenced (geometry, sub); only meaningful once fanned to a referer
     // (reference selfCheck, Sweeper.cpp:2453-2475). Carries the target's
     // side for the non-self write discipline below.
-    val tgtDf = spark.createDataset(
-      edges.map(e => (e.target, e.targetSub)).distinct.toSeq)
-      .toDF("t", "ts")
     val selfRows = tgtDf
       .join(geoms.toDF().select(col("gid"), col("subId"), col("kind"),
         col("nSubs"), col("side")),
@@ -727,11 +813,6 @@ object SpatialJoin {
       }
       .toDF("f", "s")
       .selectExpr("f.*", "s as sideA", "s as sideB")
-
-    val closDf = broadcast(spark.createDataset(
-      closure.toSeq.flatMap { case ((t, ts), rs) =>
-        rs.map(r => (t, ts, r.referer, r.subId, r.nSubs, r.side))
-      }).toDF("c_target", "c_tsub", "c_referer", "c_sub", "c_n", "c_rside"))
 
     def fan(df: DataFrame, onA: Boolean): DataFrame = {
       val key = if (onA) "gidA" else "gidB"
@@ -1449,8 +1530,12 @@ object SpatialJoin {
       import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
       import org.apache.spark.unsafe.types.UTF8String
       // J8 kill switch, executor-side (geometries are decoded and their
-      // edge indexes built inside this partition)
+      // edge indexes built inside this partition). Restored at task end so
+      // pooled threads don't carry a toggled-off index into later jobs.
       graft.geom.EdgeIndex.enabled = useFss
+      val tcFss = org.apache.spark.TaskContext.get()
+      if (tcFss != null) tcFss.addTaskCompletionListener[Unit](_ =>
+        graft.geom.EdgeIndex.enabled = true)
       // hash-group variant: drain the partition into per-cell buffers and
       // replay cell-contiguously — the downstream pump only needs cells to
       // arrive as contiguous blocks, in any cell order
@@ -2055,13 +2140,16 @@ object SpatialJoin {
     // two concurrent first actions on an unmaterialized cache would race to
     // compute its partitions, so the cold path keeps the sequential order
     // (where the stats result also gates the scan away entirely).
+    // collects are BOUNDED: take(maxDriverEdges + 1) — one extra row is the
+    // overflow sentinel that reroutes run() to the distributed fanout
+    val edgeCap = math.max(0, cfg.maxDriverEdges) + 1
     val dupFut: scala.concurrent.Future[Array[RefEdge]] =
       if (cfg.dupMinPoints >= 0 &&
           inRegion.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
         import scala.concurrent.ExecutionContext.Implicits.global
         scala.concurrent.Future {
           spark.sparkContext.setCallSite("graft.dupscan")
-          try dupEdges(spark, g0, cfg).collect()
+          try dupEdges(spark, g0, cfg).take(edgeCap)
           finally spark.sparkContext.clearCallSite()
         }
       } else null
@@ -2095,6 +2183,17 @@ object SpatialJoin {
       else cellSizeFor(meanExt, distMode = cfg.withinDist >= 0)
     val cfgCs = cfg.copy(cellSize = cs,
       selfJoin = cfg.selfJoin && !hasSides)
+    // active levels from the single stats pass (see bucketCols above).
+    // P9 removes only exact copies, whose extents equal their keeper's, so
+    // the pre-dedup extrema yield the identical level set.
+    val lvls =
+      if (levelFor(maxExt, cs) == 0) Seq(0)
+      else (0 until LVL_BUCKETS).flatMap { k =>
+        val mnIdx = 6 + 2 * k
+        if (st.isNullAt(mnIdx)) Nil
+        else Seq(levelFor(st.getLong(mnIdx), cs),
+          levelFor(st.getLong(mnIdx + 1), cs))
+      }.distinct.sorted
 
     // duplicate -> reference rewrite (P9); the edge set is collected to the
     // driver and joined into the authored-alias closure. BOUND: duplicate
@@ -2110,12 +2209,33 @@ object SpatialJoin {
           scala.concurrent.duration.Duration.Inf)
       else if (maxCoordLen >= cfg.dupMinPoints * 2 && maxCoordLen > 0)
         { spark.sparkContext.setCallSite("graft.dupscan")
-          val e = dupEdges(spark, g0, cfgCs).collect()
+          val e = dupEdges(spark, g0, cfgCs).take(edgeCap)
           spark.sparkContext.clearCallSite(); e }
       else Array.empty[RefEdge]
     spark.sparkContext.setCallSite("graft.refs")
-    val edges = refs.collect() ++ autoEdges
+    val authoredEdges = refs.take(edgeCap)
     spark.sparkContext.clearCallSite()
+    if (authoredEdges.length >= edgeCap || autoEdges.length >= edgeCap) {
+      // too many alias edges for the driver: fully distributed fanout.
+      // Recomputes the dup scan as a Dataset (g0 is cached), drops the
+      // duplicates by anti-join, and runs the general path — the fused
+      // kernel never applies here since edges are non-empty.
+      val dupDs = dupEdges(spark, g0, cfgCs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edgesDs = refs.union(dupDs)
+      lastNumReferences = edgesDs.count()
+      val g = g0.toDF().join(
+          dupDs.toDF().select(col("referer").as("gid"), col("side"),
+            col("subId")),
+          Seq("gid", "side", "subId"), "left_anti")
+        .as(org.apache.spark.sql.Encoders.product[SubGeom])
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flags = refine(spark, candidates(spark, g, cfgCs, lvls), cfgCs)
+      val fanned = fanoutDistributed(spark, flags, edgesDs, g, cfgCs)
+      return aggregate(spark, fanned, cfgCs, hadRefs = true,
+        mayHaveBigMultis = bigMultis)
+    }
+    val edges = authoredEdges ++ autoEdges
     lastNumReferences = edges.length.toLong
     // drop duplicate sub-geometries from the join input: their relations
     // come from the keeper via fanout
@@ -2126,18 +2246,6 @@ object SpatialJoin {
         g0.filter(r => !dupKeys((r.gid, r.side, r.subId)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    // active levels from the single stats pass (see bucketCols above).
-    // P9 removes only exact copies, whose extents equal their keeper's, so
-    // the pre-dedup extrema yield the identical level set.
-    val lvls =
-      if (levelFor(maxExt, cs) == 0) Seq(0)
-      else (0 until LVL_BUCKETS).flatMap { k =>
-        val mnIdx = 6 + 2 * k
-        if (st.isNullAt(mnIdx)) Nil
-        else Seq(levelFor(st.getLong(mnIdx), cs),
-          levelFor(st.getLong(mnIdx + 1), cs))
-      }.distinct.sorted
-
     if (edges.isEmpty && !bigMultis) {
       // dominant case: fused kernel (see fusedPairs). When the stats pass
       // proves the input is entirely single-sub, every pair completes

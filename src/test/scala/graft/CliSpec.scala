@@ -106,6 +106,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.kernel.pairstats")
   }
 
+  test("stdin input spools through the distributed text path") {
+    val data = ("a\tPOLYGON((0 0,10 0,10 10,0 10,0 0))\n" +
+      "b\tPOINT(5 5)\n").getBytes("UTF-8")
+    val oldIn = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(data))
+      val (g, r, cfg) = SpatialJoinCli.readInputs(spark,
+        SpatialJoinCli.parseArgs(Seq.empty))
+      val got = RelationText.lines(SpatialJoin.run(spark, g, r, cfg), cfg)
+        .collect().toSet
+      assert(got.contains("a contains b"), got)
+    } finally System.setIn(oldIn)
+  }
+
   test("single file with in-line sides == non-self semantics") {
     // example_nonself carries 3-field lines (id, side, wkt): the CLI must
     // detect the sides and run the non-self discipline automatically

@@ -105,6 +105,24 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distributed fanout (maxDriverEdges=0) matches the driver-closure path") {
+    // forces run()'s edge-overflow reroute: fixpoint closure by iterated
+    // self-join, shuffle-join fanout, anti-join duplicate drop — must be
+    // byte-identical to the collected/broadcast path on the fixtures with
+    // authored refs (incl. nested), P9 duplicates, and multi aggregation
+    for (ds <- Seq("references", "multitests", "collectiontests")) {
+      val lines = resource(s"/datasets/$ds")
+      val strDs = spark.createDataset(lines)(
+        org.apache.spark.sql.Encoders.STRING)
+      val (geoms, refs) = Model.parseLines(spark, strDs)
+      val cfg = SpatialConfig(dupMinPoints = 0, maxDriverEdges = 0)
+      val got = SpatialJoin.run(spark, geoms, refs, cfg).collect()
+        .map(r => r.getString(0) + " " + r.getString(1) + " " + r.getString(2))
+        .toSet
+      assert(got == relations(ds, "pred"), s"dataset $ds")
+    }
+  }
+
   test("freiburg dist5000 exact distance value (Kappel-Herdern ~3306.36)") {
     // The reference regex demands 3306.36\d*. Investigated exhaustively in
     // round 2: the exact closest pair between the parsed int geometries is
