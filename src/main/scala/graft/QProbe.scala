@@ -28,14 +28,31 @@ object QProbe {
                 f"  ${i.name.takeWhile(_ != '\n').take(60)}")
           }
         })
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobWall = new java.util.concurrent.atomic.AtomicLong
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); jobStart.put(j.jobId, j.time)
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStart.remove(j.jobId)
+          if (s != 0L) jobWall.addAndGet(j.time - s)
+        }
+      })
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     for (q <- args.drop(1)) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"[qprobe] $q rows=$n sec=${(System.nanoTime()-t0)/1e9}%.2f")
+      jobs.set(0); jobWall.set(0)
       val t1 = System.nanoTime()
       val n2 = SparkEntry.queries(q)(spark, dir).count()
-      println(f"[qprobe] $q(2nd) rows=$n2 sec=${(System.nanoTime()-t1)/1e9}%.2f")
+      println(f"[qprobe] $q(2nd) rows=$n2 sec=${(System.nanoTime()-t1)/1e9}%.2f" +
+        f" jobs=${jobs.get} jobWall=${jobWall.get / 1e3}%.2f")
     }
     spark.stop()
   }

@@ -23,9 +23,13 @@ object DifferentialSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def rels(df: org.apache.spark.sql.DataFrame, dist: Boolean)
+    def rels(df: org.apache.spark.sql.DataFrame, mode: String)
         : Set[(String, String, String)] = {
-      val col = if (dist) "dist" else "predicate"
+      val col = mode match {
+        case "distance" => "dist"
+        case "de9im" => "de9im"
+        case _ => "predicate"
+      }
       df.selectExpr("a_id", s"cast($col as string)", "b_id")
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .toSet
@@ -58,6 +62,10 @@ object DifferentialSoak {
            (SpatialConfig(dupMinPoints = -1), true),
            (SpatialConfig(mode = "distance", withinDist = 2500,
              dupMinPoints = -1), false),
+           // de9im through the fused kernel (packed-matrix bit_or merge)
+           // vs the general path's exact matrices — protects the round-3
+           // fused-de9im rewrite beyond the fixed de9im fixtures
+           (SpatialConfig(mode = "de9im", dupMinPoints = -1), false),
            (SpatialConfig(selfJoin = false, dupMinPoints = -1), false))) {
       val base0 = SynthGeo.dataset(spark, n, seed)
       val base = if (!shift) base0 else base0.map(g => translate(g, dx, dy))
@@ -66,13 +74,13 @@ object DifferentialSoak {
         else base.map(g => g.copy(side = math.abs(g.gid.hashCode) % 2))
       ).cache()
       val (cfg, lvls, _) = SpatialJoin.coverSpec(geoms, cfg0)
-      val dist = cfg.mode == "distance"
+      val mode = cfg.mode
       val fused = rels(SpatialJoin.aggregateFromPre(spark,
-        SpatialJoin.fusedPairs(spark, geoms, cfg, lvls), cfg), dist)
+        SpatialJoin.fusedPairs(spark, geoms, cfg, lvls), cfg), mode)
       val general = rels(SpatialJoin.aggregate(spark,
         SpatialJoin.refine(spark,
           SpatialJoin.candidates(spark, geoms, cfg, lvls), cfg),
-        cfg, hadRefs = false, mayHaveBigMultis = false), dist)
+        cfg, hadRefs = false, mayHaveBigMultis = false), mode)
       val ok = fused == general && fused.nonEmpty
       val tag = (if (cfg0.selfJoin) cfg0.mode else s"${cfg0.mode}-nonself") +
         (if (shift) "-straddle00" else "")
@@ -86,7 +94,7 @@ object DifferentialSoak {
       // fourth leg: run()-level (SynthGeo is all-single-sub, so run() takes
       // the DIRECT kernel emission path — no merge stage) vs general
       val direct = rels(SpatialJoin.run(spark, geoms,
-        spark.emptyDataset[RefEdge], cfg0), dist)
+        spark.emptyDataset[RefEdge], cfg0), mode)
       val dok = direct == general
       println(s"[soak] seed=$seed n=$n mode=$tag-direct " +
         s"rels=${direct.size} " + (if (dok) "OK" else "DIVERGED"))
