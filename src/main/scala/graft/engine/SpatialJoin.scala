@@ -2142,7 +2142,10 @@ object SpatialJoin {
     // (where the stats result also gates the scan away entirely).
     // collects are BOUNDED: take(maxDriverEdges + 1) — one extra row is the
     // overflow sentinel that reroutes run() to the distributed fanout
-    val edgeCap = math.max(0, cfg.maxDriverEdges) + 1
+    // (saturating +1: a cap of Int.MaxValue must not wrap negative)
+    val edgeCap =
+      math.min(Int.MaxValue.toLong, math.max(0, cfg.maxDriverEdges).toLong + 1)
+        .toInt
     val dupFut: scala.concurrent.Future[Array[RefEdge]] =
       if (cfg.dupMinPoints >= 0 &&
           inRegion.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {

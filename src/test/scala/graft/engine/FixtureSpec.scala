@@ -110,16 +110,19 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     // self-join, shuffle-join fanout, anti-join duplicate drop — must be
     // byte-identical to the collected/broadcast path on the fixtures with
     // authored refs (incl. nested), P9 duplicates, and multi aggregation
-    for (ds <- Seq("references", "multitests", "collectiontests")) {
+    // maxDriverEdges = 0 forces the reroute; Int.MaxValue pins the
+    // saturating cap+1 (a naive +1 wraps negative and kills the take)
+    for (ds <- Seq("references", "multitests", "collectiontests");
+         cap <- Seq(0, Int.MaxValue)) {
       val lines = resource(s"/datasets/$ds")
       val strDs = spark.createDataset(lines)(
         org.apache.spark.sql.Encoders.STRING)
       val (geoms, refs) = Model.parseLines(spark, strDs)
-      val cfg = SpatialConfig(dupMinPoints = 0, maxDriverEdges = 0)
+      val cfg = SpatialConfig(dupMinPoints = 0, maxDriverEdges = cap)
       val got = SpatialJoin.run(spark, geoms, refs, cfg).collect()
         .map(r => r.getString(0) + " " + r.getString(1) + " " + r.getString(2))
         .toSet
-      assert(got == relations(ds, "pred"), s"dataset $ds")
+      assert(got == relations(ds, "pred"), s"dataset $ds cap=$cap")
     }
   }
 
