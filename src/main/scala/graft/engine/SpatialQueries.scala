@@ -108,7 +108,33 @@ object SpatialQueries {
     SpatialIndex.selfJoin(s, path, SpatialConfig())
   }
 
+  /** The `st_*` SQL-function surface driven end-to-end: WKT point
+    * construction in SQL, a literal-polygon `st_intersects` filter (the
+    * plan-time-parsed fast path), the int mercator projection, and the
+    * engine meter distance to a fixed point. The filter polygon is
+    * axis-aligned, so the DuckDB oracle is the equivalent BETWEEN over the
+    * same projected ints plus the proven trig meter formula — a full
+    * hash-checked twin for a query running entirely through the SQL
+    * registration ([[graft.sql.GraftFunctions]]). */
+  def spSqlFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
+    val base = graft.Tables.parquet(s, s"$dir/orders.parquet").select(
+      col("o_orderkey").as("gid"),
+      (((col("o_orderkey") * 7919) % 360000) / 1000.0 - 180.0).as("lon"),
+      (((col("o_orderkey") * 104729) % 160000) / 1000.0 - 80.0).as("lat"))
+    base
+      .withColumn("wkt", concat(lit("POINT("), col("lon").cast("string"),
+        lit(" "), col("lat").cast("string"), lit(")")))
+      .filter(expr("st_intersects(wkt, " +
+        "'POLYGON((-90 -40, 90 -40, 90 40, -90 40, -90 -40))')"))
+      .select(col("gid"),
+        expr("st_merc_x(lon)").as("x"),
+        expr("st_merc_y(lat)").as("y"),
+        round(expr("st_distance(wkt, 'POINT(0 0)')"), 3).as("d_m"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp_sql_filter" -> (spSqlFilter _),
     "sp_project" -> (spProjectPoints _),
     "sp_tiles" -> (spPointTiles _),
     "sp_dist_join" -> (spDistJoin _),
@@ -135,7 +161,25 @@ object SpatialQueries {
       .stripMargin.replace("\n", "")
   }
 
+  // distance-to-(0,0) twin of sqlMeters: projY(0) == 0 exactly (trunc of
+  // ln(tan(pi/4))/pi ~ -7e-9), so b collapses to the origin
+  private val sqlMetersOrigin = {
+    def f(c: String) = s"CAST(CAST($c/10.0 AS REAL) AS DOUBLE)"
+    def lat(c: String) = s"(2*atan(exp(${f(c)}/6378137.0)) - 1.5707965)"
+    s"""sqrt(${f("x")}*${f("x")} + ${f("y")}*${f("y")})
+       | * cos((${lat("y")} + (2*atan(exp(0.0)) - 1.5707965))/2.0)"""
+      .stripMargin.replace("\n", "")
+  }
+
   val oracles: Map[String, String] = Map(
+    "sp_sql_filter" ->
+      s"""WITH p AS ($sqlPts)
+         |SELECT gid, x, y, round($sqlMetersOrigin, 3) AS d_m
+         |FROM p
+         |WHERE x BETWEEN CAST(trunc(-90.0/180.0*20037508.3427892*10.0) AS BIGINT)
+         |            AND CAST(trunc( 90.0/180.0*20037508.3427892*10.0) AS BIGINT)
+         |  AND y BETWEEN CAST(trunc(ln(tan((90.0-40.0)*pi()/360.0))/pi()*20037508.3427892*10.0) AS BIGINT)
+         |            AND CAST(trunc(ln(tan((90.0+40.0)*pi()/360.0))/pi()*20037508.3427892*10.0) AS BIGINT)""".stripMargin,
     "sp_project" ->
       s"""WITH p AS ($sqlPts) SELECT gid, x, y FROM p""",
     "sp_tiles" ->
