@@ -25,10 +25,21 @@ import graft.engine.{Model, OutputFormat, RelationText, SpatialConfig, SpatialJo
   *   --num-threads N                      local[N] (a cluster deploy sets
   *                                        --master via spark-submit instead)
   *
-  * Not carried over: `-c/--cache` (the reference's on-disk working caches —
-  * Spark's shuffle/storage dirs are native; write-once reusable indexes are
-  * `graft.engine.SpatialIndex`), `--num-caches`/`--cache-max-*` (executor
-  * memory config). Input `.gz`/`.bz2` decompress natively in the text
+  *   -c/--cache DIR                       intermediate-file directory
+  *                                        (reference: GeometryCache spill
+  *                                        dir, default '.'; here it becomes
+  *                                        spark.local.dir — the engine's
+  *                                        shuffle/spill scratch). Write-once
+  *                                        REUSABLE indexes are the library's
+  *                                        `graft.engine.SpatialIndex`.
+  *   --num-caches / --cache-max-size / --cache-max-elements
+  *                                        accepted no-ops (per-thread cache
+  *                                        memory tuning; executor memory
+  *                                        config plays that role here) so
+  *                                        reference command lines run
+  *                                        unchanged.
+  *
+  * Input `.gz`/`.bz2` decompress natively in the text
   * source. Stdin spools to a temp file in 1 MB
   * chunks and runs through the same distributed text path as file input.
   */
@@ -42,7 +53,8 @@ object SpatialJoinCli {
       noGeometryChecks: Boolean = false,
       printStats: Boolean = false,
       numThreads: Int = 0,
-      verbose: Boolean = false)
+      verbose: Boolean = false,
+      cacheDir: String = "")
 
   val usage: String =
     """spatialjoin-spark [options] [<input> [<input2>]]
@@ -66,6 +78,9 @@ object SpatialJoinCli {
       |      --no-surface-area     accepted no-op (see scaladoc)
       |      --no-geometry-checks  report the candidate count only
       |      --stats               filter-cascade + relation stats on stderr
+      |  -c, --cache <dir>         intermediate-file (spill) directory
+      |      --num-caches/--cache-max-size/--cache-max-elements <v>
+      |                            accepted no-ops (executor memory config)
       |      --num-threads <n>     local[n]
       |  -v, --verbose             INFO logging
       |  -h, --help                this message
@@ -114,6 +129,12 @@ object SpatialJoinCli {
         go(t, a)
       case "--no-geometry-checks" :: t =>
         go(t, a.copy(noGeometryChecks = true))
+      case ("-c" | "--cache") :: v :: t => go(t, a.copy(cacheDir = v))
+      case ("--num-caches" | "--cache-max-size" |
+          "--cache-max-elements") :: v :: t =>
+        System.err.println(s"[spatialjoin] ${rest.head} $v accepted " +
+          "(no-op: executor memory config plays this role)")
+        go(t, a)
       case "--stats" :: t => go(t, a.copy(printStats = true))
       case "--num-threads" :: v :: t => go(t, a.copy(numThreads = v.toInt))
       case ("-v" | "--verbose") :: t => go(t, a.copy(verbose = true))
@@ -214,11 +235,13 @@ object SpatialJoinCli {
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv.toIndexedSeq)
     val threads = if (a.numThreads > 0) a.numThreads.toString else "*"
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$threads]"))
       .appName("spatialjoin")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      (if (a.cacheDir.nonEmpty) b.config("spark.local.dir", a.cacheDir)
+       else b).getOrCreate()
     spark.sparkContext.setLogLevel(if (a.verbose) "INFO" else "WARN")
     if (a.printStats)
       spark.conf.set("graft.kernel.pairstats", "true")

@@ -57,6 +57,12 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = SpatialJoinCli.parseArgs(Seq(
       "--no-box-ids", "--stats", "--no-surface-area", "in.txt"))
     assert(!b.cfg.useBoxIds && b.printStats && b.inputs == Seq("in.txt"))
+    // -c/--cache maps to the spill dir; cache-tuning flags are no-ops
+    val c = SpatialJoinCli.parseArgs(Seq(
+      "-c", "/tmp/scratch", "--num-caches", "4", "--cache-max-size",
+      "100000", "--cache-max-elements", "100", "in.txt"))
+    assert(c.cacheDir == "/tmp/scratch" && c.inputs == Seq("in.txt"))
+    assert(SpatialJoinCli.parseArgs(Seq("--cache", "d")).cacheDir == "d")
     intercept[IllegalArgumentException] {
       SpatialJoinCli.parseArgs(Seq("--bogus"))
     }
