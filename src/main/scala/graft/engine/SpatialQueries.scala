@@ -133,8 +133,101 @@ object SpatialQueries {
         round(expr("st_distance(wkt, 'POINT(0 0)')"), 3).as("d_m"))
   }
 
+  /** Convex pentagon (off the synthetic points' 0.001° lattice so no
+    * point is structurally collinear with an edge). The DuckDB twins of
+    * the two queries below rely on the PROJECTED polygon being convex
+    * CCW — checked at class-init below — because then the engine's exact
+    * ray cast (Relate.pointArea) coincides with a half-plane conjunction
+    * over the same int coordinates, and segment/area intersection is
+    * endpoint-inside OR proper-edge-cross. */
+  private val pentagon: Array[(Double, Double)] = Array(
+    (-60.0003, -35.0007), (10.0009, -50.0001), (55.0007, -5.0003),
+    (25.0001, 40.0009), (-40.0009, 30.0003))
+  private val pentagonWkt = "POLYGON((" +
+    (pentagon :+ pentagon.head)
+      .map { case (lo, la) => s"$lo $la" }.mkString(", ") + "))"
+  private val pentagonPx: Array[(Long, Long)] =
+    pentagon.map { case (lo, la) =>
+      (Geo.projX(lo).toLong, Geo.projY(la).toLong)
+    }
+  require(pentagonPx.indices.forall { i =>
+    val (x1, y1) = pentagonPx(i)
+    val (x2, y2) = pentagonPx((i + 1) % pentagonPx.length)
+    val (x3, y3) = pentagonPx((i + 2) % pentagonPx.length)
+    (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1) > 0
+  }, "oracle precondition: projected pentagon must be convex CCW")
+
+  /** Point-in-convex-polygon as SQL: all edge cross products >= 0 (CCW,
+    * boundary counts as inside — the engine's intersects semantics).
+    * Magnitudes: |edge component| < 8e7, |point offset| < 4.1e8, so every
+    * product < 3.3e16 — safe in BIGINT on both engines. */
+  private def sqlPipConvex(px: String, py: String): String =
+    pentagonPx.indices.map { i =>
+      val (x1, y1) = pentagonPx(i)
+      val (x2, y2) = pentagonPx((i + 1) % pentagonPx.length)
+      s"(${x2 - x1}*(($py) - (${y1})) - " +
+        s"(${y2 - y1})*(($px) - (${x1})) >= 0)"
+    }.mkString("(", " AND ", ")")
+
+  /** Proper segment/edge crossing (strict opposite orientations on both
+    * sides) for segment (pxA,pyA)-(pxB,pyB) against every pentagon edge. */
+  private def sqlSegCross(pxA: String, pyA: String,
+      pxB: String, pyB: String): String =
+    pentagonPx.indices.map { i =>
+      val (ax, ay) = pentagonPx(i)
+      val (bx, by) = pentagonPx((i + 1) % pentagonPx.length)
+      val d1 = s"(${bx - ax}*(($pyA)-(${ay})) - (${by - ay})*(($pxA)-(${ax})))"
+      val d2 = s"(${bx - ax}*(($pyB)-(${ay})) - (${by - ay})*(($pxB)-(${ax})))"
+      val d3 = s"((($pxB)-($pxA))*((${ay})-($pyA)) - " +
+        s"(($pyB)-($pyA))*((${ax})-($pxA)))"
+      val d4 = s"((($pxB)-($pxA))*((${by})-($pyA)) - " +
+        s"(($pyB)-($pyA))*((${bx})-($pxA)))"
+      s"((($d1>0 AND $d2<0) OR ($d1<0 AND $d2>0)) AND " +
+        s"(($d3>0 AND $d4<0) OR ($d3<0 AND $d4>0)))"
+    }.mkString("(", " OR ", ")")
+
+  /** R7 ray-cast refinement under oracle: `st_intersects(point, convex
+    * pentagon)` — a NON-axis-aligned polygon, so the engine runs the real
+    * point-in-polygon ray cast (Relate.pointArea), while the DuckDB twin
+    * is the half-plane conjunction over the identical projected ints. */
+  def spPipConvex(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
+    graft.Tables.parquet(s, s"$dir/orders.parquet").select(
+      col("o_orderkey").as("gid"),
+      (((col("o_orderkey") * 7919) % 360000) / 1000.0 - 180.0).as("lon"),
+      (((col("o_orderkey") * 104729) % 160000) / 1000.0 - 80.0).as("lat"))
+      .withColumn("wkt", concat(lit("POINT("), col("lon").cast("string"),
+        lit(" "), col("lat").cast("string"), lit(")")))
+      .filter(expr(s"st_intersects(wkt, '$pentagonWkt')"))
+      .select(col("gid"),
+        expr("st_merc_x(lon)").as("x"), expr("st_merc_y(lat)").as("y"))
+  }
+
+  /** R2/R4 segment machinery under oracle: `st_intersects(2-point
+    * LINESTRING, convex pentagon)` — exercises endpoint-in-area plus
+    * segment/edge crossing; the DuckDB twin is endpoint-inside OR
+    * proper-cross over the same projected ints (valid for a convex
+    * polygon up to measure-zero tangencies, which the off-lattice
+    * vertices rule out for this point set). */
+  def spSegIntersect(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
+    graft.Tables.parquet(s, s"$dir/orders.parquet").select(
+      col("o_orderkey").as("gid"),
+      (((col("o_orderkey") * 7919) % 340000) / 1000.0 - 170.0).as("lon"),
+      (((col("o_orderkey") * 104729) % 150000) / 1000.0 - 75.0).as("lat"))
+      .withColumn("wkt", concat(lit("LINESTRING("),
+        col("lon").cast("string"), lit(" "), col("lat").cast("string"),
+        lit(", "), (col("lon") + 4.32).cast("string"), lit(" "),
+        (col("lat") + 2.17).cast("string"), lit(")")))
+      .filter(expr(s"st_intersects(wkt, '$pentagonWkt')"))
+      .select(col("gid"),
+        expr("st_merc_x(lon)").as("x"), expr("st_merc_y(lat)").as("y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_sql_filter" -> (spSqlFilter _),
+    "sp_pip_convex" -> (spPipConvex _),
+    "sp_seg_intersect" -> (spSegIntersect _),
     "sp_project" -> (spProjectPoints _),
     "sp_tiles" -> (spPointTiles _),
     "sp_dist_join" -> (spDistJoin _),
@@ -171,7 +264,34 @@ object SpatialQueries {
       .stripMargin.replace("\n", "")
   }
 
+  // seg-query endpoints projected in SQL; operation order mirrors the
+  // Spark side exactly (… / 1000.0 - 170.0, then + 4.32) so both engines
+  // evaluate the identical IEEE-double chain before the trunc-to-int
+  private val sqlSegPts = {
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    val lon = "((o_orderkey * 7919) % 340000) / 1000.0 - 170.0"
+    val lat = "((o_orderkey * 104729) % 150000) / 1000.0 - 75.0"
+    s"""SELECT o_orderkey AS gid,
+       | ${pjx(lon)} AS x, ${pjy(lat)} AS y,
+       | ${pjx(s"$lon + 4.32")} AS x2, ${pjy(s"$lat + 2.17")} AS y2
+       |FROM orders""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sp_pip_convex" ->
+      s"""WITH p AS ($sqlPts)
+         |SELECT gid, x, y FROM p
+         |WHERE ${sqlPipConvex("x", "y")}""".stripMargin,
+    "sp_seg_intersect" ->
+      s"""WITH p AS ($sqlSegPts)
+         |SELECT gid, x, y FROM p
+         |WHERE ${sqlPipConvex("x", "y")}
+         |   OR ${sqlPipConvex("x2", "y2")}
+         |   OR ${sqlSegCross("x", "y", "x2", "y2")}""".stripMargin,
     "sp_sql_filter" ->
       s"""WITH p AS ($sqlPts)
          |SELECT gid, x, y, round($sqlMetersOrigin, 3) AS d_m
