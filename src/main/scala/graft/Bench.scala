@@ -265,9 +265,14 @@ object Bench {
     // got OOM-killed under driver-side memory load; round 3 sizes them to
     // what the box actually has free RIGHT NOW.
     val availGb = memAvailableGb()
-    localDir = sys.env.getOrElse("GRAFT_LOCAL_DIR",
-      if (availGb < 0 || availGb >= 48) "/dev/shm/graft-spark"
-      else "/tmp/graft-spark")
+    // the scratch tree is always a graft-owned SUBDIR — rmTree below must
+    // never point at a user-supplied directory itself (GRAFT_LOCAL_DIR=/tmp
+    // would otherwise wipe /tmp)
+    localDir = sys.env.get("GRAFT_LOCAL_DIR")
+      .map(b => new java.io.File(b, "graft-spark").getPath)
+      .getOrElse(
+        if (availGb < 0 || availGb >= 48) "/dev/shm/graft-spark"
+        else "/tmp/graft-spark")
     rmTree(localDir) // stale data from a previous killed run would leak RAM
     childHeapGb = math.max(2, math.min(8,
       if (availGb < 0) 8 else (availGb / 6).toInt))

@@ -24,9 +24,11 @@ object BenchReporter {
     val path = args(0)
     val buf = new Array[Byte](64)
     var ok = false
+    var acc = "" // accumulate across reads: "ok" may arrive split
     var n = System.in.read(buf) // blocks until parent writes or dies
     while (n > 0 && !ok) {
-      if (new String(buf, 0, n, "UTF-8").contains("ok")) ok = true
+      acc = (acc + new String(buf, 0, n, "UTF-8")).takeRight(8)
+      if (acc.contains("ok")) ok = true
       else n = System.in.read(buf)
     }
     if (!ok) {

@@ -48,9 +48,13 @@ object QProbe {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"[qprobe] $q rows=$n sec=${(System.nanoTime()-t0)/1e9}%.2f")
+      // drain the async listener bus before resetting / reading the
+      // counters so run-1 events never bleed into run-2's figures
+      org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
       jobs.set(0); jobWall.set(0)
       val t1 = System.nanoTime()
       val n2 = SparkEntry.queries(q)(spark, dir).count()
+      org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
       println(f"[qprobe] $q(2nd) rows=$n2 sec=${(System.nanoTime()-t1)/1e9}%.2f" +
         f" jobs=${jobs.get} jobWall=${jobWall.get / 1e3}%.2f")
     }

@@ -19,7 +19,7 @@ import org.apache.spark.storage.StorageLevel
   *   - `meta/`   one-row JSON: cell size, active levels, mode, stats
   *   - `packed/` parquet of [[SpatialJoin.packedRows]] (eligible indexes)
   *   - `raw/` + `refs/` parquet fallback when the input needs the general
-  *     path (authored `<refs>`, P9 duplicates, >63-part multis, de9im) —
+  *     path (authored `<refs>`, P9 duplicates, >63-part multis) —
   *     the join then replays [[SpatialJoin.run]] from the persisted rows,
   *     still skipping the original source parse.
   *
@@ -65,7 +65,10 @@ object SpatialIndex {
         maxCoordLen >= cfg.dupMinPoints * 2 &&
         !SpatialJoin.dupEdges(spark, g0, cfgCs).isEmpty
       val hasRefs = !refs.isEmpty
-      val eligible = !hasRefs && !hasDups && !bigMultis && cfg.mode != "de9im"
+      // same gate as run()'s fused-kernel dispatch: every mode (predicates,
+      // distance, de9im) runs packed as long as no alias edges / duplicate
+      // rewrites / >63-part multis force the general path
+      val eligible = !hasRefs && !hasDups && !bigMultis
       if (eligible)
         SpatialJoin.packedRows(g0, cfgCs)
           .write.mode("overwrite").parquet(s"$path/packed")

@@ -773,12 +773,17 @@ object SpatialJoin {
         frontier = next
       }
     }
+    // materialize the (small, closure-sized) join inputs eagerly so `e` —
+    // the million-row distinct this path exists to avoid recomputing — can
+    // be released NOW instead of staying pinned until the caller's action
+    // (fanoutWith's plan reads closDf/tgtDf three times; without the
+    // checkpoint each read would re-run the distinct after the unpersist)
     val tgtDf = e.select(col("target").as("t"), col("targetSub").as("ts"))
-      .distinct()
+      .distinct().localCheckpoint()
     val closDf = clos.select(col("target").as("c_target"),
       col("targetSub").as("c_tsub"), col("referer").as("c_referer"),
       col("subId").as("c_sub"), col("nSubs").as("c_n"),
-      col("side").as("c_rside"))
+      col("side").as("c_rside")).localCheckpoint()
     val out = fanoutWith(spark, flags, closDf, tgtDf, geoms, cfg)
     e.unpersist(false)
     out
@@ -2222,8 +2227,14 @@ object SpatialJoin {
       // too many alias edges for the driver: fully distributed fanout.
       // Recomputes the dup scan as a Dataset (g0 is cached), drops the
       // duplicates by anti-join, and runs the general path — the fused
-      // kernel never applies here since edges are non-empty.
-      val dupDs = dupEdges(spark, g0, cfgCs)
+      // kernel never applies here since edges are non-empty. The dup scan
+      // honors the same eligibility gate as the driver-side path: skipped
+      // when disabled (dupMinPoints < 0) or when the stats prove nothing
+      // can qualify.
+      val dupDs = (if (cfg.dupMinPoints >= 0 && maxCoordLen > 0 &&
+          maxCoordLen >= cfg.dupMinPoints * 2) dupEdges(spark, g0, cfgCs)
+        else spark.emptyDataset(
+          org.apache.spark.sql.Encoders.product[RefEdge]))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edgesDs = refs.union(dupDs)
       lastNumReferences = edgesDs.count()

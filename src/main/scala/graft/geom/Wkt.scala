@@ -42,8 +42,13 @@ object Wkt {
       val t2 = geomStr.indexOf('\t')
       if (t2 >= 0) {
         // a second tab means the middle field IS the side (WKT and <ref>
-        // payloads never contain tabs); non-numeric parses as 0 like atoi
-        side = geomStr.substring(0, t2).trim.toIntOption.getOrElse(0)
+        // payloads never contain tabs); non-numeric parses as 0 like atoi,
+        // and any non-zero value collapses to 1 like the reference's
+        // `bool side = atoi(c)` (WKTParse.h:23,139) — the engine packs
+        // side into one bit, so wider values must never reach the kernel
+        side =
+          if (geomStr.substring(0, t2).trim.toIntOption.getOrElse(0) != 0) 1
+          else 0
         geomStr = geomStr.substring(t2 + 1)
       }
     }

@@ -17,6 +17,12 @@ object GraftInternal {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** Block until the async listener bus has delivered all queued events —
+    * lets instrumentation (QProbe) attribute job metrics to the query that
+    * produced them instead of racing the bus. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Column <-> Expression bridge for custom Catalyst expressions. */
   def exprOf(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)

@@ -115,6 +115,24 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(texts.values.toSet == lines.toSet)
   }
 
+  test("side field parses like the reference's `bool side = atoi(c)`") {
+    // WKTParse.h:23,139 — any non-zero int collapses to side 1, non-numeric
+    // to 0; the engine packs side into one bit so wider values must never
+    // reach the kernel
+    def sideOf(line: String): Int =
+      graft.geom.Wkt.parseLine(line, 1).get.side
+    assert(sideOf("a\t0\tPOINT(1 1)") == 0)
+    assert(sideOf("a\t1\tPOINT(1 1)") == 1)
+    assert(sideOf("a\t2\tPOINT(1 1)") == 1)   // int -> bool
+    assert(sideOf("a\t-1\tPOINT(1 1)") == 1)  // int -> bool
+    assert(sideOf("a\tx\tPOINT(1 1)") == 0)   // atoi("x") == 0
+    // and the default side only applies when the field is absent
+    assert(graft.geom.Wkt.parseLine("a\tPOINT(1 1)", 1, defaultSide = 1)
+      .get.side == 1)
+    assert(graft.geom.Wkt.parseLine("a\t0\tPOINT(1 1)", 1, defaultSide = 1)
+      .get.side == 0)
+  }
+
   test("multimodal plumbing: schema, batching, fallback decode") {
     val s = spark
     import s.implicits._

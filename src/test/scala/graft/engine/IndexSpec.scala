@@ -83,6 +83,22 @@ class IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
   }
 
+  test("index selfJoin == run, de9im mode (packed path)") {
+    val (geoms, refs) = parse(fixture("freiburg"))
+    val cfg = SpatialConfig(mode = "de9im", dupMinPoints = -1)
+    val path = s"$tmp/freiburg_de9im"
+    val meta = SpatialIndex.write(spark, geoms, refs, cfg, path)
+    assert(meta.eligible, "de9im runs fused since r3 — must take packed")
+    val got = SpatialIndex.selfJoin(spark, path, cfg)
+      .selectExpr("a_id", "de9im", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = SpatialJoin.run(spark, geoms, refs, cfg)
+      .selectExpr("a_id", "de9im", "b_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+  }
+
   test("index mode mismatch is rejected") {
     val path = s"$tmp/freiburg_pred" // written by the predicates test
     intercept[IllegalArgumentException] {
