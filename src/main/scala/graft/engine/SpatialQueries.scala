@@ -224,8 +224,200 @@ object SpatialQueries {
         expr("st_merc_x(lon)").as("x"), expr("st_merc_y(lat)").as("y"))
   }
 
+  // ---------------------------------------------------------- rect relate
+  // Per-variant rectangle corner offsets (lon1,lat1,lon2,lat2 deltas from
+  // the cell base). The six variants manufacture every area/area predicate
+  // inside one cell: v0 the anchor, v1 nested in v0 (contains/covers),
+  // v2 partial overlap with v0, v3 edge-touching v0 at lon=bx+4, v4 an
+  // exact duplicate of v0 (equals), v5 corner-touching v1 at (bx+3,by+2)
+  // and nested in v2. Cells are 8°x5° spaced with ≤6°x4° extents, so no
+  // relation ever spans cells.
+  private val rectDx1 = Array(0, 1, 2, 4, 0, 3)
+  private val rectDy1 = Array(0, 1, 1, 0, 0, 2)
+  private val rectDx2 = Array(4, 3, 6, 6, 4, 6)
+  private val rectDy2 = Array(3, 2, 4, 3, 3, 4)
+
+  /** The FULL join pipeline (WKT text -> parse -> int mercator projection
+    * -> multi-level cell cover -> fused sweep kernel -> refinement ->
+    * predicate aggregation) under a hash-exact DuckDB oracle. Axis-aligned
+    * rectangles stay axis-aligned int boxes after per-vertex projection,
+    * so every emitted predicate has a closed interval form the twin
+    * reproduces over identically projected ints: intersects = closed-box
+    * overlap, covers = box containment, contains = covers for
+    * positive-area boxes (OGC: containment + interior intersection, and
+    * nested boxes always share interior — pinned by the reference's own
+    * freiburg1 contains freiburg2 assertion on an equal pair), equals =
+    * identical boxes, touches = contact without interior overlap (edge AND
+    * corner cases present), overlaps = interior overlap with no
+    * containment either way; crosses is impossible area/area. The gid cap
+    * keeps pair-work constant across scale factors so the bench sweep
+    * cost is sf-independent. */
+  def spRectRelate(s: SparkSession, dir: String): DataFrame =
+    rectJoin(s, dir, SpatialConfig())
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
+
+  /** Deterministic rectangle WKT lines -> full engine pipeline. */
+  private def rectJoin(s: SparkSession, dir: String,
+      cfg: SpatialConfig): DataFrame = {
+    import s.implicits._
+    def off(a: Array[Int], v: Column) =
+      element_at(array(a.map(lit): _*), v + 1)
+    val base = graft.Tables.parquet(s, s"$dir/orders.parquet")
+      .filter(col("o_orderkey") <= 30000)
+      .select(col("o_orderkey").cast("long").as("gid"))
+      .withColumn("cell", (floor(col("gid") / 6) % 960).cast("int"))
+      .withColumn("v", (col("gid") % 6).cast("int"))
+      .withColumn("bx", col("cell") % 40 * 8 - 160)
+      .withColumn("by", floor(col("cell") / 40).cast("int") * 5 - 60)
+      .select(col("gid"),
+        (col("bx") + off(rectDx1, col("v"))).as("lon1"),
+        (col("by") + off(rectDy1, col("v"))).as("lat1"),
+        (col("bx") + off(rectDx2, col("v"))).as("lon2"),
+        (col("by") + off(rectDy2, col("v"))).as("lat2"))
+    def cs(c: Column) = c.cast("string")
+    val lines = base.select(concat(
+      cs(col("gid")), lit("\tPOLYGON(("),
+      cs(col("lon1")), lit(" "), cs(col("lat1")), lit(", "),
+      cs(col("lon2")), lit(" "), cs(col("lat1")), lit(", "),
+      cs(col("lon2")), lit(" "), cs(col("lat2")), lit(", "),
+      cs(col("lon1")), lit(" "), cs(col("lat2")), lit(", "),
+      cs(col("lon1")), lit(" "), cs(col("lat1")), lit("))")).as("line"))
+      .as[String]
+    val (geoms, refs) = Model.parseLines(s, lines)
+    SpatialJoin.run(s, geoms, refs, cfg)
+  }
+
+  // interval predicates over the pair table p's int box corners, shared by
+  // the two rect oracles
+  private val rectCovAB =
+    "ax1 <= bx1 AND bx2 <= ax2 AND ay1 <= by1 AND by2 <= ay2"
+  private val rectCovBA =
+    "bx1 <= ax1 AND ax2 <= bx2 AND by1 <= ay1 AND ay2 <= by2"
+  private val rectII = "greatest(ax1,bx1) < least(ax2,bx2) AND " +
+    "greatest(ay1,by1) < least(ay2,by2)"
+
+  /** WITH-clause prefix producing the pair table `p`: the deterministic
+    * rectangle corners, trunc-projected to int mercator exactly like the
+    * engine, self-joined per cell on closed-box intersection (the engine
+    * emits nothing for disjoint pairs in any mode). Both ordered
+    * directions are present (a.gid <> b.gid). */
+  private val sqlRectPairs: String = {
+    def pick(a: Array[Int]) =
+      s"CASE v WHEN 0 THEN ${a(0)} WHEN 1 THEN ${a(1)} WHEN 2 THEN ${a(2)}" +
+        s" WHEN 3 THEN ${a(3)} WHEN 4 THEN ${a(4)} ELSE ${a(5)} END"
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
+       |    (CAST(floor(o_orderkey / 6.0) AS BIGINT) % 960) AS cell,
+       |    CAST(o_orderkey AS BIGINT) % 6 AS v
+       |  FROM orders WHERE o_orderkey <= 30000),
+       |c AS (
+       |  SELECT gid, cell,
+       |    (cell % 40) * 8 - 160 AS bx,
+       |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60 AS by,
+       |    v FROM b),
+       |d AS (
+       |  SELECT gid, cell,
+       |    bx + ${pick(rectDx1)} AS lon1, by + ${pick(rectDy1)} AS lat1,
+       |    bx + ${pick(rectDx2)} AS lon2, by + ${pick(rectDy2)} AS lat2
+       |  FROM c),
+       |r AS (
+       |  SELECT gid, cell,
+       |    ${pjx("lon1")} AS x1, ${pjy("lat1")} AS y1,
+       |    ${pjx("lon2")} AS x2, ${pjy("lat2")} AS y2
+       |  FROM d),
+       |p AS (
+       |  SELECT a.gid AS a_gid, b.gid AS b_gid,
+       |    a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+       |    b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+       |  FROM r a JOIN r b ON a.cell = b.cell AND a.gid <> b.gid
+       |  WHERE a.x1 <= b.x2 AND b.x1 <= a.x2
+       |    AND a.y1 <= b.y2 AND b.y1 <= a.y2)""".stripMargin
+  }
+
+  /** The rect-relate DuckDB twin: closed interval forms of the predicate
+    * set (derivation at [[spRectRelate]]). */
+  private[engine] val sqlRectRelate: String =
+    s"""$sqlRectPairs
+       |SELECT a_gid, 'intersects' AS pred, b_gid FROM p
+       |UNION ALL SELECT a_gid, 'covers', b_gid FROM p WHERE $rectCovAB
+       |UNION ALL SELECT a_gid, 'contains', b_gid FROM p WHERE $rectCovAB
+       |UNION ALL SELECT a_gid, 'equals', b_gid FROM p
+       |  WHERE ax1 = bx1 AND ax2 = bx2 AND ay1 = by1 AND ay2 = by2
+       |UNION ALL SELECT a_gid, 'touches', b_gid FROM p WHERE NOT ($rectII)
+       |UNION ALL SELECT a_gid, 'overlaps', b_gid FROM p
+       |  WHERE $rectII AND NOT ($rectCovAB) AND NOT ($rectCovBA)"""
+      .stripMargin
+
+  /** The rect-de9im DuckDB twin: every DE-9IM cell of two positive-area
+    * closed int boxes has a closed interval form (derivation at
+    * [[spRectDe9im]]); the matrix string is a CASE-concat. */
+  private[engine] val sqlRectDe9im: String = {
+    // `edge` box's boundary passing through `in` box's interior: one of
+    // its 4 edges has a positive-length portion strictly inside the open
+    // box (the shared greatest/least terms are the positive-overlap span)
+    def boundaryInInterior(edge: String, in: String): String =
+      s"(((${in}x1 < ${edge}x1 AND ${edge}x1 < ${in}x2) OR " +
+        s"(${in}x1 < ${edge}x2 AND ${edge}x2 < ${in}x2)) AND " +
+        "greatest(ay1,by1) < least(ay2,by2)) OR " +
+        s"(((${in}y1 < ${edge}y1 AND ${edge}y1 < ${in}y2) OR " +
+        s"(${in}y1 < ${edge}y2 AND ${edge}y2 < ${in}y2)) AND " +
+        "greatest(ax1,bx1) < least(ax2,bx2))"
+    val sharedEdge =
+      "((ax1 = bx1 OR ax1 = bx2 OR ax2 = bx1 OR ax2 = bx2) AND " +
+        "greatest(ay1,by1) < least(ay2,by2)) OR " +
+        "((ay1 = by1 OR ay1 = by2 OR ay2 = by1 OR ay2 = by2) AND " +
+        "greatest(ax1,bx1) < least(ax2,bx2))"
+    val strictIn =
+      "(bx1 < ax1 AND ax2 < bx2 AND by1 < ay1 AND ay2 < by2) OR " +
+        "(ax1 < bx1 AND bx2 < ax2 AND ay1 < by1 AND by2 < ay2)"
+    def cse(cond: String, t: String, f: String) =
+      s"CASE WHEN $cond THEN '$t' ELSE '$f' END"
+    val mat = Seq(
+      cse(rectII, "2", "F"), // II
+      cse(boundaryInInterior("b", "a"), "1", "F"), // IB
+      cse(rectCovBA, "F", "2"), // IE
+      cse(boundaryInInterior("a", "b"), "1", "F"), // BI
+      s"CASE WHEN $sharedEdge THEN '1' WHEN $strictIn THEN 'F' " +
+        "ELSE '0' END", // BB
+      cse(rectCovBA, "F", "1"), // BE
+      cse(rectCovAB, "F", "2"), // EI
+      cse(rectCovAB, "F", "1"), // EB
+      "'2'" // EE
+    ).mkString(" || ")
+    s"""$sqlRectPairs
+       |SELECT a_gid, $mat AS mat, b_gid FROM p""".stripMargin
+  }
+
+  /** The de9im aggregation path (fused packed-matrix kernel + bit_or
+    * merge) under a hash-exact DuckDB oracle: same rectangle set as
+    * [[spRectRelate]], mode=de9im. Per ordered intersecting pair the
+    * engine emits the full 9-char matrix; the twin derives each cell in
+    * closed form — II: 2 iff interiors (open boxes) overlap; IB/BI: 1 iff
+    * an edge of one box has a positive-length portion strictly inside the
+    * other's open box (an isolated boundary point inside an OPEN set
+    * always extends along the edge, so the cell is never 0); IE/BE
+    * (resp. EI/EB): F iff the box is covered by the other (a closed
+    * convex set containing the whole boundary contains its hull), else
+    * 2/1; BB: 1 iff a collinear edge pair overlaps in more than a point,
+    * F iff one box lies strictly inside the other's interior, else 0
+    * (crossing or corner contact); EE: always 2. These reproduce the
+    * reference's own fixture matrices (2FFF1FFF2 equal, 212FF1FF2
+    * contains, FF2F11212 edge-touch — TestMain.cpp de9im asserts). */
+  def spRectDe9im(s: SparkSession, dir: String): DataFrame =
+    rectJoin(s, dir, SpatialConfig(mode = "de9im"))
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("de9im").as("mat"), col("b_id").cast("long").as("b_gid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_sql_filter" -> (spSqlFilter _),
+    "sp_rect_relate" -> (spRectRelate _),
+    "sp_rect_de9im" -> (spRectDe9im _),
     "sp_pip_convex" -> (spPipConvex _),
     "sp_seg_intersect" -> (spSegIntersect _),
     "sp_project" -> (spProjectPoints _),
@@ -282,6 +474,8 @@ object SpatialQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "sp_rect_relate" -> sqlRectRelate,
+    "sp_rect_de9im" -> sqlRectDe9im,
     "sp_pip_convex" ->
       s"""WITH p AS ($sqlPts)
          |SELECT gid, x, y FROM p
