@@ -257,24 +257,28 @@ object SpatialQueries {
       .select(col("a_id").cast("long").as("a_gid"),
         col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
 
-  /** Deterministic rectangle WKT lines -> full engine pipeline. */
-  private def rectJoin(s: SparkSession, dir: String,
-      cfg: SpatialConfig): DataFrame = {
+  /** Deterministic rectangle WKT lines -> full engine pipeline. The
+    * variant arrays give each of the `dx1.length` per-cell variants its
+    * rectangle corner offsets from the 8°x5°-spaced cell base. */
+  private def rectJoin(s: SparkSession, dir: String, cfg: SpatialConfig,
+      dx1: Array[Int] = rectDx1, dy1: Array[Int] = rectDy1,
+      dx2: Array[Int] = rectDx2, dy2: Array[Int] = rectDy2): DataFrame = {
     import s.implicits._
+    val nv = dx1.length
     def off(a: Array[Int], v: Column) =
       element_at(array(a.map(lit): _*), v + 1)
     val base = graft.Tables.parquet(s, s"$dir/orders.parquet")
       .filter(col("o_orderkey") <= 30000)
       .select(col("o_orderkey").cast("long").as("gid"))
-      .withColumn("cell", (floor(col("gid") / 6) % 960).cast("int"))
-      .withColumn("v", (col("gid") % 6).cast("int"))
+      .withColumn("cell", (floor(col("gid") / nv) % 960).cast("int"))
+      .withColumn("v", (col("gid") % nv).cast("int"))
       .withColumn("bx", col("cell") % 40 * 8 - 160)
       .withColumn("by", floor(col("cell") / 40).cast("int") * 5 - 60)
       .select(col("gid"),
-        (col("bx") + off(rectDx1, col("v"))).as("lon1"),
-        (col("by") + off(rectDy1, col("v"))).as("lat1"),
-        (col("bx") + off(rectDx2, col("v"))).as("lon2"),
-        (col("by") + off(rectDy2, col("v"))).as("lat2"))
+        (col("bx") + off(dx1, col("v"))).as("lon1"),
+        (col("by") + off(dy1, col("v"))).as("lat1"),
+        (col("bx") + off(dx2, col("v"))).as("lon2"),
+        (col("by") + off(dy2, col("v"))).as("lat2"))
     def cs(c: Column) = c.cast("string")
     val lines = base.select(concat(
       cs(col("gid")), lit("\tPOLYGON(("),
@@ -414,10 +418,85 @@ object SpatialQueries {
       .select(col("a_id").cast("long").as("a_gid"),
         col("de9im").as("mat"), col("b_id").cast("long").as("b_gid"))
 
+  // ------------------------------------------------------------ rect dist
+  // Distance-mode variant set: two 1°x1° boxes per cell, diagonally
+  // separated by (1°,1°), so every intra-cell cross-variant pair has a
+  // PROVABLY unique closest approach at the two facing corners (for
+  // p in A, q in B: px <= Ax2 < Bx1 <= qx and likewise in y, with
+  // equality only at the corners), same-variant pairs are exact
+  // duplicates (distance 0), and the nearest cross-cell pair sits at
+  // >= ~229 km — outside the 200 km threshold at every latitude row.
+  private val distDx1 = Array(0, 2); private val distDy1 = Array(0, 2)
+  private val distDx2 = Array(1, 3); private val distDy2 = Array(1, 3)
+
+  /** Polygon-to-polygon within-distance under a hash-exact DuckDB oracle:
+    * the padded-cover distance pipeline + the exact edge-to-edge
+    * refinement (Dist.geomDist) on areas, not just points. The engine's
+    * closest-approach search clamps point-to-segment projections to the
+    * int vertices at the facing corners, then converts with the
+    * exact-double mean-latitude rule (Dist.metersPairD) — so the twin is
+    * that formula verbatim on the corner pair (or 0 for the exact
+    * duplicates, which intersect). This puts the one mode with a known
+    * reference residual (the absent util submodule's withinDist
+    * internals, see FixtureSpec) under an independent oracle for the
+    * documented rule. */
+  def spRectDist(s: SparkSession, dir: String): DataFrame =
+    rectJoin(s, dir,
+      SpatialConfig(mode = "distance", withinDist = 200000.0),
+      distDx1, distDy1, distDx2, distDy2)
+      .filter(col("a_id").cast("long") < col("b_id").cast("long"))
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("b_id").cast("long").as("b_gid"),
+        round(col("dist"), 3).as("dist_m"))
+
+  private[engine] val sqlRectDist: String = {
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    // Dist.metersPairD verbatim: exact-double corner coords, euclidean
+    // over raw int units / PREC, scale = cos of the MEAN of the two
+    // point latitudes
+    def lat(y: String) =
+      s"(2*atan(exp(($y/10.0)/6378137.0)) - 1.5707965)"
+    def metersD(px: String, py: String, qx: String, qy: String) =
+      s"sqrt((CAST($px AS DOUBLE)-($qx))*(CAST($px AS DOUBLE)-($qx)) + " +
+        s"(CAST($py AS DOUBLE)-($qy))*(CAST($py AS DOUBLE)-($qy)))/10.0 " +
+        s"* cos((${lat(py)} + ${lat(qy)})/2.0)"
+    s"""WITH b AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
+       |    (CAST(floor(o_orderkey / 2.0) AS BIGINT) % 960) AS cell,
+       |    CAST(o_orderkey AS BIGINT) % 2 AS v
+       |  FROM orders WHERE o_orderkey <= 30000),
+       |c AS (
+       |  SELECT gid, cell, v,
+       |    (cell % 40) * 8 - 160 + CASE v WHEN 0 THEN 0 ELSE 2 END AS lon1,
+       |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60
+       |      + CASE v WHEN 0 THEN 0 ELSE 2 END AS lat1,
+       |    (cell % 40) * 8 - 160 + CASE v WHEN 0 THEN 1 ELSE 3 END AS lon2,
+       |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60
+       |      + CASE v WHEN 0 THEN 1 ELSE 3 END AS lat2
+       |  FROM b),
+       |r AS (
+       |  SELECT gid, cell, v,
+       |    ${pjx("lon1")} AS x1, ${pjy("lat1")} AS y1,
+       |    ${pjx("lon2")} AS x2, ${pjy("lat2")} AS y2
+       |  FROM c)
+       |SELECT a.gid AS a_gid, b.gid AS b_gid,
+       |  round(CASE WHEN a.v = b.v THEN 0.0
+       |    WHEN a.v = 0 THEN ${metersD("a.x2", "a.y2", "b.x1", "b.y1")}
+       |    ELSE ${metersD("a.x1", "a.y1", "b.x2", "b.y2")} END, 3)
+       |    AS dist_m
+       |FROM r a JOIN r b ON a.cell = b.cell AND a.gid < b.gid"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_sql_filter" -> (spSqlFilter _),
     "sp_rect_relate" -> (spRectRelate _),
     "sp_rect_de9im" -> (spRectDe9im _),
+    "sp_rect_dist" -> (spRectDist _),
     "sp_pip_convex" -> (spPipConvex _),
     "sp_seg_intersect" -> (spSegIntersect _),
     "sp_project" -> (spProjectPoints _),
@@ -476,6 +555,7 @@ object SpatialQueries {
   val oracles: Map[String, String] = Map(
     "sp_rect_relate" -> sqlRectRelate,
     "sp_rect_de9im" -> sqlRectDe9im,
+    "sp_rect_dist" -> sqlRectDist,
     "sp_pip_convex" ->
       s"""WITH p AS ($sqlPts)
          |SELECT gid, x, y FROM p

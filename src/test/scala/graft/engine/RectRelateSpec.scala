@@ -156,4 +156,43 @@ class RectRelateSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (m <- Seq("2FFF1FFF2", "212FF1FF2", "FF2F11212", "FF2F01212"))
       assert(mats.contains(m), s"expected matrix $m in output; got $mats")
   }
+
+  test("engine rect distances == corner-pair metersPairD (multiset)") {
+    val dir = sfDir
+    assume(dir.isDefined, "driver testdata not present")
+    val got = SpatialQueries.spRectDist(spark, dir.get)
+      .collect()
+      .map(r => s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getDouble(2)}")
+    // closed-form: same (cell,v) pairs are exact duplicates (0); cross
+    // variants have a provably unique corner-to-corner closest approach
+    case class B(gid: Long, cell: Int, v: Int,
+        x1: Long, y1: Long, x2: Long, y2: Long)
+    val bs = gidsOf(dir.get).map { gid =>
+      val cell = ((gid / 2) % 960).toInt; val v = (gid % 2).toInt
+      val bx = cell % 40 * 8 - 160 + (if (v == 0) 0 else 2)
+      val by = cell / 40 * 5 - 60 + (if (v == 0) 0 else 2)
+      B(gid, cell, v,
+        Geo.projX(bx.toDouble).toLong, Geo.projY(by.toDouble).toLong,
+        Geo.projX((bx + 1).toDouble).toLong, Geo.projY((by + 1).toDouble).toLong)
+    }
+    val want = for (g <- bs.groupBy(_.cell).values.toSeq; a <- g; b <- g
+                    if a.gid < b.gid) yield {
+      val d =
+        if (a.v == b.v) 0.0
+        else if (a.v == 0) graft.geom.Dist.metersPairD(
+          a.x2.toDouble, a.y2.toDouble, b.x1.toDouble, b.y1.toDouble)
+        else graft.geom.Dist.metersPairD(
+          a.x1.toDouble, a.y1.toDouble, b.x2.toDouble, b.y2.toDouble)
+      s"${a.gid}\t${b.gid}\t${BigDecimal(d)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble}"
+    }
+    assert(got.sorted.toSeq == want.sorted,
+      s"got ${got.length} rows, want ${want.length}; sample: " +
+        s"${(got.toSet -- want.toSet).take(3)} / ${(want.toSet -- got.toSet).take(3)}")
+    // duplicate pairs need two gids 1920 apart in the same (cell, v) —
+    // present from sf0.01 up, absent in the 1500-gid sf0.001 set
+    if (bs.map(_.gid).max >= 1920)
+      assert(got.exists(_.endsWith("\t0.0")), "duplicate pairs must report 0")
+    assert(got.exists(!_.endsWith("\t0.0")), "corner pairs must be nonzero")
+  }
 }
