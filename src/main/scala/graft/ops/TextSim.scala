@@ -115,6 +115,28 @@ object TextSim {
       .filter(col("jaccard") > 0)
   }
 
+  /** Dedup clustering: connected components over the verified near-dup
+    * pairs (minhashDedup), every document labeled with its cluster
+    * canonical (the component's min doc_id) and the cluster size;
+    * documents in no near-dup pair are singleton clusters of themselves.
+    * The "keep one copy per cluster" step of a dedup pipeline is then
+    * `filter(doc_id == canon_id)`. Cluster sizes come from a map-side-
+    * combinable groupBy + equi-join back (AQE skew-split applies to a
+    * mega-cluster key), not a window over canon_id, which would pin a
+    * whole mega-cluster into one task. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    val lab = ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+    val all = docs(s, dir).select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+    val sizes = all.groupBy(col("canon_id")).agg(count(lit(1)).as("csize"))
+    all.join(sizes, "canon_id")
+      .select(col("doc_id"), col("canon_id"), col("csize"))
+  }
+
   /** Embedding cosine near-duplicate pairs via the shared multi-table
     * hyperplane LSH (graft.ops.Ann): only pairs sharing a bucket in at
     * least one table are scored — the round-1 `a_id < b_id` join was a
@@ -149,6 +171,7 @@ object TextSim {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_minhash_lsh" -> (minhashDedup _),
+    "q25_dedup_cc" -> (dedupClusters _),
     "q18_simhash" -> (simhash _),
     "q19_ngram_jaccard" -> (ngramJaccard _),
     "q20_cosine_pairs" -> (cosinePairs _)
@@ -171,28 +194,52 @@ object TextSim {
        |        md5(string_agg(sig, ',' ORDER BY i)) AS bv
        | FROM sigs GROUP BY doc_id, i // 3)""".stripMargin
 
+  /** Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * jaccard-verified near-dup pairs of q17, reused by the q25 closure. */
+  private val pairsSql =
+    s"""$bandsSql,
+       |cands AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       | SELECT c.doc_a, c.doc_b, count(*) AS ni
+       | FROM cands c
+       | JOIN sh sa ON sa.doc_id = c.doc_a
+       | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       | GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       | SELECT doc_a, doc_b,
+       |   round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS jaccard
+       | FROM inter
+       | JOIN cnt ca ON ca.doc_id = doc_a
+       | JOIN cnt cb ON cb.doc_id = doc_b
+       | WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) >= 0.5)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
     "q17_minhash_lsh" ->
-      s"""$bandsSql,
-         |cands AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM bands a JOIN bands b
-         |   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |sh AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql)),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         | SELECT c.doc_a, c.doc_b, count(*) AS ni
-         | FROM cands c
-         | JOIN sh sa ON sa.doc_id = c.doc_a
-         | JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-         | GROUP BY c.doc_a, c.doc_b)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS jaccard
-         |FROM inter
-         |JOIN cnt ca ON ca.doc_id = doc_a
-         |JOIN cnt cb ON cb.doc_id = doc_b
-         |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) >= 0.5"""
-        .stripMargin,
+      s"$pairsSql\nSELECT doc_a, doc_b, jaccard FROM pairs",
+    // min-reachable-label closure: DuckDB's recursive CTE is the exact
+    // (small-scale) twin of the large-star/small-star contraction
+    "q25_dedup_cc" ->
+      ("WITH RECURSIVE " + pairsSql.stripPrefix("WITH ") + ",\n" +
+        """edges AS (
+          | SELECT doc_a AS u, doc_b AS v FROM pairs
+          | UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(node, lbl) AS (
+          | SELECT DISTINCT u, u FROM edges
+          | UNION
+          | SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+          |lab AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node),
+          |alldoc AS (
+          | SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
+          | FROM documents d LEFT JOIN lab l ON l.node = d.doc_id)
+          |SELECT doc_id, canon_id,
+          |  count(*) OVER (PARTITION BY canon_id) AS csize
+          |FROM alldoc""".stripMargin),
     "q18_simhash" ->
       """WITH toks AS (
         | SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
