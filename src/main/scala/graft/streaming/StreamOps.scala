@@ -85,6 +85,72 @@ object StreamOps {
       .drop("cell", "coords", "ringEnds", "minX", "minY", "maxX", "maxY")
   }
 
+  /** Streaming exact deduplication over a document stream
+    * (url, ts, text): emits the FIRST document per content fingerprint
+    * (xxhash64 of the text, the same key as the batch q9 dedup),
+    * suppresses later duplicates while the key's state lives, and expires
+    * state via EVENT-TIME timeout `ttlMs` past the watermark.
+    *
+    * Scale shape: per-key state is one boolean and lives O(ttl), not
+    * O(stream length) — the bounded-state contract a continuous crawl
+    * ingest needs. The tradeoff every TTL'd streaming dedup makes: a
+    * duplicate arriving after its key expired re-emits (downstream batch
+    * dedup catches it). Within a micro-batch ties break deterministically
+    * to the smallest (ts, url). The same function runs on a batch
+    * DataFrame (flatMapGroupsWithState degenerates to one stateless group
+    * pass) where it equals "first row per fingerprint" — parity-tested in
+    * EngineOpsSpec. */
+  def dedupStream(spark: SparkSession, docs: DataFrame,
+      watermark: String = "30 minutes",
+      ttlMs: Long = 3600L * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val isStreaming = docs.isStreaming
+    val projected = docs
+      .select(col("url").cast("string"), col("ts").cast("timestamp"),
+        xxhash64(col("text")).as("fp"))
+    // watermark AFTER the projection: a cast on a watermarked column mints
+    // a fresh attribute without the event-time tag, and the stateful op
+    // then fails the streaming checker
+    val keyed = (if (isStreaming) projected.withWatermark("ts", watermark)
+      else projected)
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._3)
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout // batch: timeouts never fire
+    keyed.flatMapGroupsWithState(
+        OutputMode.Append, timeoutConf)(
+      (fp: Long, rows: Iterator[(String, java.sql.Timestamp, Long)],
+       state: GroupState[Boolean]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          // one pass: the (ts, url)-min row (the emit candidate) and the
+          // max event time (the TTL anchor — NOT the current watermark,
+          // which is still 0 during the first batch and would expire
+          // every key immediately)
+          var maxTs = Long.MinValue
+          var best: (String, java.sql.Timestamp, Long) = null
+          rows.foreach { r =>
+            val t = r._2.getTime
+            if (t > maxTs) maxTs = t
+            if (best == null || t < best._2.getTime ||
+              (t == best._2.getTime && r._1 < best._1)) best = r
+          }
+          val first =
+            if (state.exists || best == null) Iterator.empty
+            else Iterator(best)
+          state.update(true)
+          // sliding TTL past the key's latest sighting; event-time
+          // timeouts require a timestamp above the watermark, which
+          // maxTs + ttl always is (late rows never reach the function)
+          if (isStreaming && maxTs != Long.MinValue)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+          first.map(r => (r._1, r._2, r._3))
+        }
+      }).toDF("url", "ts", "fp")
+  }
+
   /** Per-user session counts; sessions split on gaps > 30 min.
     *
     * Scale shape: the events are hash-partitioned by user and sorted

@@ -251,6 +251,57 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       tx == t00 && ty == t00 && n == 2 })
   }
 
+  test("streaming dedup: first-per-fingerprint, cross-batch suppression, " +
+      "TTL re-emit, batch parity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val sdf = mem.toDF().toDF("url", "ts", "text")
+    // ttl = 1h past the 30-min watermark
+    val q = graft.streaming.StreamOps.dedupStream(s, sdf)
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    // batch 1: two copies of X in ONE batch -> the (ts, url)-min survives
+    mem.addData(("u2", t("2024-01-01 10:00:30"), "X"),
+      ("u1", t("2024-01-01 10:00:00"), "X"))
+    q.processAllAvailable()
+    // batch 2: a later duplicate of X (state alive) + first Y.
+    // Watermark during batch 2 = 10:00:30 - 30min = 09:30:30; X's TTL
+    // refreshes to 11:00 + 1h = 12:00.
+    mem.addData(("u3", t("2024-01-01 11:00:00"), "X"),
+      ("u4", t("2024-01-01 14:00:00"), "Y"))
+    q.processAllAvailable()
+    // batch 3: watermark is now 13:30 (14:00 - 30min) > X's 12:00
+    // timeout, so X's state expires DURING this batch (the key must have
+    // no data in the expiry batch — a key with new data is invoked with
+    // hasTimedOut = false)
+    mem.addData(("u5", t("2024-01-01 14:10:00"), "Z"))
+    q.processAllAvailable()
+    // batch 4: X re-emits (key expired), Z is suppressed (state alive)
+    mem.addData(("u6", t("2024-01-01 14:20:00"), "X"),
+      ("u7", t("2024-01-01 14:15:00"), "Z"))
+    q.processAllAvailable()
+    val got = spark.table("dd").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    q.stop()
+    assert(got == Set(
+      ("u1", t("2024-01-01 10:00:00")), // X first copy, in-batch tie won
+      ("u4", t("2024-01-01 14:00:00")), // Y
+      ("u5", t("2024-01-01 14:10:00")), // Z
+      ("u6", t("2024-01-01 14:20:00")))) // X re-emit after TTL expiry
+    // batch parity: the same function on a batch DataFrame == first row
+    // per fingerprint (the q9 batch dedup rule)
+    val batchDocs = Seq(
+      ("u2", t("2024-01-01 10:00:30"), "X"),
+      ("u1", t("2024-01-01 10:00:00"), "X"),
+      ("u4", t("2024-01-01 12:00:00"), "Y")).toDF("url", "ts", "text")
+    val b = graft.streaming.StreamOps.dedupStream(s, batchDocs)
+      .collect().map(r => r.getString(0)).toSet
+    assert(b == Set("u1", "u4"))
+  }
+
   test("multimodal WAV/MP4 header codecs on constructed containers") {
     import graft.ops.Multimodal
     val s = spark
