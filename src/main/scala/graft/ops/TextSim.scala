@@ -53,6 +53,101 @@ object TextSim {
       .select(col("doc_id"), col("s.band").as("band"), col("s.bv").as("bv"))
   }
 
+  /** Word 3-gram shingles as ONE array column (no explode): the
+    * stateless building block of [[bandsProjection]]. Null for docs with
+    * fewer than 3 words (the caller filters). */
+  private def shingleArray(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", w(i), w(i + 1), w(i + 2))))
+  }
+
+  /** Stateless projection form of the minhash LSH bands: shingle array,
+    * k salted-md5 minima (array_min == the groupBy min over exploded
+    * shingles), and band values are all expressions over ONE row — no
+    * explode-shuffle, no aggregation, no state — so the SAME plan runs on
+    * a batch DataFrame and on a STREAM of documents (the batch
+    * minhashSigs/minhashBands shape is kept for the oracled q17 path,
+    * where the map-side-combined groupBy is the right shuffle shape for a
+    * corpus-sized input; this projection is the right shape for a
+    * micro-batch). Emits one row per (input row, band) with every input
+    * column preserved plus (shs, band, bv); (doc_id, band, bv) is
+    * parity-pinned against minhashBands in TextSimSpec. */
+  def bandsProjection(d: DataFrame, k: Int = 12, r: Int = 3): DataFrame = {
+    val sigs = (0 until k).map(i =>
+      array_min(transform(col("shs"),
+        sh => md5(concat(lit(i.toLong), lit(":"), sh)))).as(s"sig$i"))
+    val withSigs = d
+      .withColumn("shs", shingleArray(col("text")))
+      .filter(col("shs").isNotNull)
+      .select(col("*") +: sigs: _*)
+    val bandStructs = (0 until k / r).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",",
+          (0 until r).map(j => col(s"sig${b * r + j}")): _*)).as("bv"))
+    }
+    withSigs
+      .withColumn("s", explode(array(bandStructs: _*)))
+      .select((d.columns.map(col) :+ col("shs") :+
+        col("s.band").as("band") :+ col("s.bv").as("bv")): _*)
+  }
+
+  /** Incremental near-dup screening: a STREAM of new documents
+    * (doc_id, ts, text) against the STATIC corpus documents table — the
+    * "dedup today's crawl against yesterday's index" operation. Stream
+    * side: [[bandsProjection]] (pure projection, stateless). Corpus
+    * side: the same bands plus one distinct-shingle array per corpus
+    * doc, both bounded static tables (broadcast or hash-joined per
+    * micro-batch). Stream-static equi-join on (band, bv) yields
+    * candidates; pairs sharing several bands are deduped with
+    * dropDuplicatesWithinWatermark (bounded per-key state, the
+    * [[graft.streaming.StreamOps.dedupStream]] contract); exact word
+    * 3-gram jaccard is then computed PER ROW from the two shingle
+    * arrays — no pair aggregation anywhere, so the whole pipeline is
+    * stateless apart from the bounded candidate dedup. Emits
+    * (doc_id, corpus_id, jaccard) with jaccard >= 0.5. Runs identically
+    * on a batch DataFrame (the dedup degrades to dropDuplicates). */
+  def nearDupStream(s: SparkSession, stream: DataFrame, dir: String,
+      watermark: String = "30 minutes"): DataFrame = {
+    val corpus = docs(s, dir)
+    val cb = bandsProjection(corpus)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bv"))
+    val csh = corpus
+      .withColumn("csh", array_distinct(shingleArray(col("text"))))
+      .filter(col("csh").isNotNull)
+      .select(col("doc_id").as("corpus_id"), col("csh"))
+    val cands = bandsProjection(stream)
+      .select(col("doc_id"), col("ts"),
+        array_distinct(col("shs")).as("nsh"), col("band"), col("bv"))
+      .join(cb, Seq("band", "bv"))
+      .select(col("doc_id"), col("ts"), col("nsh"), col("corpus_id"))
+    val deduped =
+      if (cands.isStreaming)
+        cands.withWatermark("ts", watermark)
+          .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      else cands.dropDuplicates("doc_id", "corpus_id")
+    deduped.join(csh, Seq("corpus_id"))
+      .withColumn("ni", size(array_intersect(col("nsh"), col("csh"))))
+      .select(col("doc_id"), col("corpus_id"),
+        round(col("ni").cast("double") /
+          (size(col("nsh")) + size(col("csh")) - col("ni")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** The batch face of [[nearDupStream]] for the harness oracle: every
+    * 50th document plays the "new batch" screened against the full
+    * corpus (so the result includes each probe's self-pair at jaccard
+    * 1.0 — the screen is a containment check, not a self-join). Runs the
+    * EXACT streaming plan in batch mode. */
+  def nearDupCorpusBatch(s: SparkSession, dir: String): DataFrame =
+    nearDupStream(s,
+      docs(s, dir).filter(col("doc_id") % 50 === 0)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      dir)
+
   /** Candidate pairs from shared LSH buckets, verified with exact word
     * 3-gram jaccard; emits pairs with jaccard >= 0.5. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
@@ -172,6 +267,7 @@ object TextSim {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_minhash_lsh" -> (minhashDedup _),
     "q25_dedup_cc" -> (dedupClusters _),
+    "q26_neardup_corpus" -> (nearDupCorpusBatch _),
     "q18_simhash" -> (simhash _),
     "q19_ngram_jaccard" -> (ngramJaccard _),
     "q20_cosine_pairs" -> (cosinePairs _)
@@ -222,6 +318,31 @@ object TextSim {
   val oracles: Map[String, String] = Map(
     "q17_minhash_lsh" ->
       s"$pairsSql\nSELECT doc_a, doc_b, jaccard FROM pairs",
+    // the corpus screen reuses the q17 bands/shingle CTEs, but the
+    // candidate join is probe-vs-ALL (self-pairs included) instead of
+    // doc_a < doc_b
+    "q26_neardup_corpus" ->
+      s"""$bandsSql,
+         |cands AS (
+         | SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+         | FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.bv = b.bv
+         | WHERE a.doc_id % 50 = 0),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         | SELECT c.doc_id, c.corpus_id, count(*) AS ni
+         | FROM cands c
+         | JOIN sh sa ON sa.doc_id = c.doc_id
+         | JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
+         | GROUP BY c.doc_id, c.corpus_id)
+         |SELECT inter.doc_id AS doc_id, corpus_id,
+         |  round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = inter.doc_id
+         |JOIN cnt cb ON cb.doc_id = inter.corpus_id
+         |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) >= 0.5"""
+        .stripMargin,
     // min-reachable-label closure: DuckDB's recursive CTE is the exact
     // (small-scale) twin of the large-star/small-star contraction
     "q25_dedup_cc" ->
