@@ -206,6 +206,45 @@ object QueryPack {
       .select(col("q_gid").cast("long").as("q_pid"),
         col("gid").cast("long").as("pid"), col("dist2"), col("rk"))
 
+  /** Sequence packing for training batches: documents fill fixed
+    * 256-token bins greedily in doc_id order WITHIN a deterministic
+    * stream class (doc_id % 8 — the distributed packing unit; each class
+    * packs independently, so the layout is reproducible at ANY
+    * parallelism, unlike range-partitioned packing whose boundaries come
+    * from sampling). 8 classes here for the oracle's sake; at cluster
+    * scale the class count is the parallelism knob (one sorted run per
+    * class, any number of classes per task). Same constant-memory
+    * repartition +
+    * sortWithinPartitions + linear-scan shape as StreamOps.sessionize —
+    * no per-class buffer ever materializes, a hot class is one sorted
+    * run. A doc longer than the cap gets its own bin; tokens are the q10
+    * whitespace rule. Emits (doc_id, cls, bin, tok). */
+  def q27SeqPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 256L
+    val txt = col("text")
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        pmod(col("doc_id"), lit(8)).cast("long").as("cls"),
+        (length(txt) - length(regexp_replace(txt, " ", "")) + 1)
+          .cast("long").as("tok"))
+      .repartition(col("cls"))
+      .sortWithinPartitions(col("cls"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curCls = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, cls, tok) =>
+          if (cls != curCls) { curCls = cls; bin = 0L; fill = tok }
+          else if (fill + tok > cap) { bin += 1; fill = tok }
+          else fill += tok
+          (id, cls, bin, tok)
+        }
+      }
+      .toDF("doc_id", "cls", "bin", "tok")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,7 +260,8 @@ object QueryPack {
     "q13_embed_norm" -> q13EmbedNorm _,
     "q14_tile_assign" -> q14TileAssign _,
     "q15_dist_join" -> q15DistJoin _,
-    "q16_knn" -> q16Knn _
+    "q16_knn" -> q16Knn _,
+    "q27_seq_pack" -> q27SeqPack _
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +364,31 @@ object QueryPack {
         |  row_number() OVER (PARTITION BY q.q_pid
         |    ORDER BY (p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy) ASC, p.pid ASC) AS rk
         | FROM pts p CROSS JOIN q WHERE p.pid <> q.q_pid)
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+    // greedy sequential fill is inherently recursive (the bin boundary
+    // depends on every prior fill), hence the recursive CTE twin stepping
+    // one rank at a time per class
+    "q27_seq_pack" ->
+      """WITH RECURSIVE d AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |   CAST(doc_id % 8 AS BIGINT) AS cls,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |     AS BIGINT) AS tok
+        | FROM documents),
+        |o AS (SELECT doc_id, cls, tok,
+        |  row_number() OVER (PARTITION BY cls ORDER BY doc_id) AS rn
+        | FROM d),
+        |rec AS (
+        | SELECT cls, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin,
+        |   tok AS fill
+        | FROM o WHERE rn = 1
+        | UNION ALL
+        | SELECT o.cls, o.rn, o.doc_id, o.tok,
+        |   CASE WHEN rec.fill + o.tok > 256 THEN rec.bin + 1
+        |        ELSE rec.bin END,
+        |   CASE WHEN rec.fill + o.tok > 256 THEN o.tok
+        |        ELSE rec.fill + o.tok END
+        | FROM o JOIN rec ON o.cls = rec.cls AND o.rn = rec.rn + 1)
+        |SELECT doc_id, cls, bin, tok FROM rec""".stripMargin
   )
 }
