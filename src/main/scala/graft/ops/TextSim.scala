@@ -39,19 +39,27 @@ object TextSim {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: band value = md5 of the band's r sigs in i-order.
-    * Derived column-wise from the wide signature row (no second shuffle). */
-  def minhashBands(s: SparkSession, dir: String, k: Int = 12, r: Int = 3)
-      : DataFrame = {
-    val bandStructs = (0 until k / r).map { b =>
+  /** (band, bv) structs from the k wide `sig<i>` columns — the ONE
+    * definition of the band hash, shared by the groupBy path
+    * (minhashBands) and the projection path (bandsProjection) so the two
+    * cannot drift apart (TextSimSpec pins them equal, and the DuckDB
+    * bandsSql oracle mirrors exactly this shape). */
+  private def bandStructs(k: Int, r: Int): Seq[Column] =
+    (0 until k / r).map { b =>
       struct(lit(b.toLong).as("band"),
         md5(concat_ws(",",
           (0 until r).map(j => col(s"sig${b * r + j}")): _*)).as("bv"))
     }
+
+  /** LSH banding: band value = md5 of the band's r sigs in i-order.
+    * Derived column-wise from the wide signature row (no second shuffle). */
+  def minhashBands(s: SparkSession, dir: String, k: Int = 12, r: Int = 3)
+      : DataFrame =
     minhashSigs(s, dir, k)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("s"))
-      .select(col("doc_id"), col("s.band").as("band"), col("s.bv").as("bv"))
-  }
+      .select(col("doc_id"),
+        explode(array(bandStructs(k, r): _*)).as("_graft_s"))
+      .select(col("doc_id"), col("_graft_s.band").as("band"),
+        col("_graft_s.bv").as("bv"))
 
   /** Word 3-gram shingles as ONE array column (no explode): the
     * stateless building block of [[bandsProjection]]. Null for docs with
@@ -72,25 +80,28 @@ object TextSim {
     * where the map-side-combined groupBy is the right shuffle shape for a
     * corpus-sized input; this projection is the right shape for a
     * micro-batch). Emits one row per (input row, band) with every input
-    * column preserved plus (shs, band, bv); (doc_id, band, bv) is
-    * parity-pinned against minhashBands in TextSimSpec. */
+    * column preserved plus (shs, band, bv) — those three names (and the
+    * internal `sig<i>`/`_graft_*` temporaries) are reserved: an input
+    * already carrying one of them is rejected up front rather than
+    * silently clobbered or failed at analysis depth. (doc_id, band, bv)
+    * is parity-pinned against minhashBands in TextSimSpec. */
   def bandsProjection(d: DataFrame, k: Int = 12, r: Int = 3): DataFrame = {
+    val reserved = Set("shs", "band", "bv") ++
+      (0 until k).map(i => s"sig$i") + "_graft_s"
+    val clash = d.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"bandsProjection: input columns collide with reserved names: " +
+        clash.mkString(", "))
     val sigs = (0 until k).map(i =>
       array_min(transform(col("shs"),
         sh => md5(concat(lit(i.toLong), lit(":"), sh)))).as(s"sig$i"))
-    val withSigs = d
-      .withColumn("shs", shingleArray(col("text")))
+    d.withColumn("shs", shingleArray(col("text")))
       .filter(col("shs").isNotNull)
       .select(col("*") +: sigs: _*)
-    val bandStructs = (0 until k / r).map { b =>
-      struct(lit(b.toLong).as("band"),
-        md5(concat_ws(",",
-          (0 until r).map(j => col(s"sig${b * r + j}")): _*)).as("bv"))
-    }
-    withSigs
-      .withColumn("s", explode(array(bandStructs: _*)))
+      .withColumn("_graft_s", explode(array(bandStructs(k, r): _*)))
       .select((d.columns.map(col) :+ col("shs") :+
-        col("s.band").as("band") :+ col("s.bv").as("bv")): _*)
+        col("_graft_s.band").as("band") :+
+        col("_graft_s.bv").as("bv")): _*)
   }
 
   /** Incremental near-dup screening: a STREAM of new documents
@@ -111,12 +122,19 @@ object TextSim {
   def nearDupStream(s: SparkSession, stream: DataFrame, dir: String,
       watermark: String = "30 minutes"): DataFrame = {
     val corpus = docs(s, dir)
+    // persisted: the corpus side is static across micro-batches — without
+    // the cache every trigger would re-scan the corpus parquet twice and
+    // recompute the full-corpus minhash bands (the dominant cost of the
+    // plan), making per-batch latency scale with corpus size instead of
+    // batch size
     val cb = bandsProjection(corpus)
       .select(col("doc_id").as("corpus_id"), col("band"), col("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val csh = corpus
       .withColumn("csh", array_distinct(shingleArray(col("text"))))
       .filter(col("csh").isNotNull)
       .select(col("doc_id").as("corpus_id"), col("csh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandsProjection(stream)
       .select(col("doc_id"), col("ts"),
         array_distinct(col("shs")).as("nsh"), col("band"), col("bv"))

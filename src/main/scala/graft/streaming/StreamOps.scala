@@ -91,7 +91,9 @@ object StreamOps {
     * suppresses later duplicates while the key's state lives, and expires
     * state via EVENT-TIME timeout `ttlMs` past the watermark.
     *
-    * Scale shape: per-key state is one boolean and lives O(ttl), not
+    * Scale shape: per-key state is one long (the key's latest
+    * sighting, keeping the TTL anchor monotone under out-of-order
+    * duplicates) and lives O(ttl), not
     * O(stream length) — the bounded-state contract a continuous crawl
     * ingest needs. The tradeoff every TTL'd streaming dedup makes: a
     * duplicate arriving after its key expired re-emits (downstream batch
@@ -122,7 +124,7 @@ object StreamOps {
     keyed.flatMapGroupsWithState(
         OutputMode.Append, timeoutConf)(
       (fp: Long, rows: Iterator[(String, java.sql.Timestamp, Long)],
-       state: GroupState[Boolean]) => {
+       state: GroupState[Long]) => {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
           // one pass: the (ts, url)-min row (the emit candidate) and the
@@ -140,12 +142,17 @@ object StreamOps {
           val first =
             if (state.exists || best == null) Iterator.empty
             else Iterator(best)
-          state.update(true)
+          // state = max event time seen across ALL batches, so the TTL
+          // anchor is MONOTONE: an out-of-order duplicate (batch maxTs
+          // below a prior sighting) must not move the timeout EARLIER
+          val maxSeen =
+            math.max(if (state.exists) state.get else Long.MinValue, maxTs)
+          state.update(maxSeen)
           // sliding TTL past the key's latest sighting; event-time
           // timeouts require a timestamp above the watermark, which
-          // maxTs + ttl always is (late rows never reach the function)
-          if (isStreaming && maxTs != Long.MinValue)
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+          // maxSeen + ttl always is (late rows never reach the function)
+          if (isStreaming && maxSeen != Long.MinValue)
+            state.setTimeoutTimestamp(maxSeen + ttlMs)
           first.map(r => (r._1, r._2, r._3))
         }
       }).toDF("url", "ts", "fp")

@@ -263,34 +263,48 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = graft.streaming.StreamOps.dedupStream(s, sdf)
       .writeStream.format("memory").queryName("dd")
       .outputMode("append").start()
-    // batch 1: two copies of X in ONE batch -> the (ts, url)-min survives
-    mem.addData(("u2", t("2024-01-01 10:00:30"), "X"),
-      ("u1", t("2024-01-01 10:00:00"), "X"))
+    // batch 1: two copies of X in ONE batch -> the (ts, url)-min
+    // survives. X maxSeen 12:00:30, timeout 13:00:30; wm after -> 11:30:30
+    mem.addData(("u2", t("2024-01-01 12:00:30"), "X"),
+      ("u1", t("2024-01-01 12:00:00"), "X"))
     q.processAllAvailable()
-    // batch 2: a later duplicate of X (state alive) + first Y.
-    // Watermark during batch 2 = 10:00:30 - 30min = 09:30:30; X's TTL
-    // refreshes to 11:00 + 1h = 12:00.
-    mem.addData(("u3", t("2024-01-01 11:00:00"), "X"),
-      ("u4", t("2024-01-01 14:00:00"), "Y"))
+    // batch 2: an OUT-OF-ORDER duplicate of X (11:40 < the 12:00:30
+    // already seen, above the 11:30:30 watermark so it reaches the
+    // function) + first Y. X suppressed; the TTL anchor must STAY at the
+    // max sighting (timeout 13:00:30) — a non-monotone anchor would slide
+    // it back to 12:40. wm after -> 12:50
+    mem.addData(("u3", t("2024-01-01 11:40:00"), "X"),
+      ("u4", t("2024-01-01 13:20:00"), "Y"))
     q.processAllAvailable()
-    // batch 3: watermark is now 13:30 (14:00 - 30min) > X's 12:00
-    // timeout, so X's state expires DURING this batch (the key must have
-    // no data in the expiry batch — a key with new data is invoked with
-    // hasTimedOut = false)
-    mem.addData(("u5", t("2024-01-01 14:10:00"), "Z"))
+    // batch 3: wm during this batch is 12:50. A non-monotone anchor
+    // (12:40) would expire X HERE; the monotone 13:00:30 keeps it alive.
+    // wm after -> 12:55
+    mem.addData(("u5", t("2024-01-01 13:25:00"), "Z"))
     q.processAllAvailable()
-    // batch 4: X re-emits (key expired), Z is suppressed (state alive)
-    mem.addData(("u6", t("2024-01-01 14:20:00"), "X"),
-      ("u7", t("2024-01-01 14:15:00"), "Z"))
+    // batch 4: a duplicate of X — MUST still be suppressed (the
+    // regression guard: with the non-monotone anchor X expired in batch 3
+    // and this would re-emit). Refreshes X's anchor to 13:24 + 1h.
+    // Plus first W at 15:30 to advance the watermark. wm after -> 15:00
+    mem.addData(("u6", t("2024-01-01 13:24:00"), "X"),
+      ("u7", t("2024-01-01 15:30:00"), "W"))
+    q.processAllAvailable()
+    // batch 5: wm 15:00 > X's 14:24 timeout and X has no data -> X
+    // expires during this batch; V is new
+    mem.addData(("u8", t("2024-01-01 15:10:00"), "V"))
+    q.processAllAvailable()
+    // batch 6: X re-emits (key expired past its TTL)
+    mem.addData(("u9", t("2024-01-01 15:20:00"), "X"))
     q.processAllAvailable()
     val got = spark.table("dd").collect()
       .map(r => (r.getString(0), r.getTimestamp(1))).toSet
     q.stop()
     assert(got == Set(
-      ("u1", t("2024-01-01 10:00:00")), // X first copy, in-batch tie won
-      ("u4", t("2024-01-01 14:00:00")), // Y
-      ("u5", t("2024-01-01 14:10:00")), // Z
-      ("u6", t("2024-01-01 14:20:00")))) // X re-emit after TTL expiry
+      ("u1", t("2024-01-01 12:00:00")), // X first copy, in-batch tie won
+      ("u4", t("2024-01-01 13:20:00")), // Y
+      ("u5", t("2024-01-01 13:25:00")), // Z
+      ("u7", t("2024-01-01 15:30:00")), // W
+      ("u8", t("2024-01-01 15:10:00")), // V
+      ("u9", t("2024-01-01 15:20:00")))) // X re-emit after TTL expiry
     // batch parity: the same function on a batch DataFrame == first row
     // per fingerprint (the q9 batch dedup rule)
     val batchDocs = Seq(
