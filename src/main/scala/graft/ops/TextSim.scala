@@ -122,19 +122,22 @@ object TextSim {
   def nearDupStream(s: SparkSession, stream: DataFrame, dir: String,
       watermark: String = "30 minutes"): DataFrame = {
     val corpus = docs(s, dir)
-    // persisted: the corpus side is static across micro-batches — without
-    // the cache every trigger would re-scan the corpus parquet twice and
-    // recompute the full-corpus minhash bands (the dominant cost of the
-    // plan), making per-batch latency scale with corpus size instead of
-    // batch size
-    val cb = bandsProjection(corpus)
-      .select(col("doc_id").as("corpus_id"), col("band"), col("bv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val csh = corpus
+    // persisted in streaming mode: the corpus side is static across
+    // micro-batches — without the cache every trigger would re-scan the
+    // corpus parquet twice and recompute the full-corpus minhash bands
+    // (the dominant cost of the plan), making per-batch latency scale
+    // with corpus size instead of batch size. In batch mode each side is
+    // consumed exactly once, so the cache would be pure overhead.
+    def maybeCache(df: DataFrame): DataFrame =
+      if (stream.isStreaming)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val cb = maybeCache(bandsProjection(corpus)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bv")))
+    val csh = maybeCache(corpus
       .withColumn("csh", array_distinct(shingleArray(col("text"))))
       .filter(col("csh").isNotNull)
-      .select(col("doc_id").as("corpus_id"), col("csh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id").as("corpus_id"), col("csh")))
     val cands = bandsProjection(stream)
       .select(col("doc_id"), col("ts"),
         array_distinct(col("shs")).as("nsh"), col("band"), col("bv"))
