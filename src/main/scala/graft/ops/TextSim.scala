@@ -110,7 +110,9 @@ object TextSim {
     * side: [[bandsProjection]] (pure projection, stateless). Corpus
     * side: the same bands plus one distinct-shingle array per corpus
     * doc, both bounded static tables (broadcast or hash-joined per
-    * micro-batch). Stream-static equi-join on (band, bv) yields
+    * micro-batch; at a 100 TB corpus, write the band table bucketed by
+    * (band, bv) so each micro-batch join prunes to the buckets the
+    * stream actually touches). Stream-static equi-join on (band, bv) yields
     * candidates; pairs sharing several bands are deduped with
     * dropDuplicatesWithinWatermark (bounded per-key state, the
     * [[graft.streaming.StreamOps.dedupStream]] contract); exact word
