@@ -42,6 +42,42 @@ class TextSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(proj.nonEmpty)
   }
 
+  test("bandsProjection rejects inputs with reserved column names") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, "a b c d", "x")).toDF("doc_id", "text", "band")
+    val e = intercept[IllegalArgumentException] {
+      TextSim.bandsProjection(bad)
+    }
+    assert(e.getMessage.contains("band"))
+  }
+
+  test("q27 packing invariant: no bin over 256 tokens unless singleton; " +
+      "bins contiguous per class") {
+    val dir = sfDir
+    assume(dir.isDefined, "driver testdata not present")
+    val rows = graft.queries.QueryPack.q27SeqPack(spark, dir.get)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(r => (r._2, r._3))
+    byBin.foreach { case ((cls, bin), docs) =>
+      val tot = docs.map(_._4).sum
+      assert(tot <= 256 || docs.length == 1,
+        s"cls=$cls bin=$bin tokens=$tot docs=${docs.length}")
+    }
+    // bins are dense 0..max per class, and doc_id order is monotone
+    // across bin order within a class
+    rows.groupBy(_._2).foreach { case (cls, ds) =>
+      val bins = ds.map(_._3).distinct.sorted
+      assert(bins.head == 0L && bins.last == bins.length - 1,
+        s"cls=$cls bins not dense: ${bins.take(5).mkString(",")}")
+      val sorted = ds.sortBy(_._1)
+      assert(sorted.map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), s"cls=$cls bin order not monotone")
+    }
+  }
+
   test("nearDupStream: stream near-copy finds its corpus doc; " +
       "stream == batch") {
     val dir = sfDir
