@@ -348,6 +348,8 @@ object Bench {
       "scale_reps" -> "[]", "extra_high_reps" -> "[]",
       "cpu_low_core_s" -> "-1", "cpu_high_core_s" -> "-1",
       "host_bw_gbs" -> "-1", "host_steal_pct" -> "-1",
+      "screen_prep_sec" -> "-1", "screen_batch_indexed_sec" -> "-1",
+      "screen_batch_inline_sec" -> "-1",
       "mem_avail_gb" -> (math.rint(availGb * 10) / 10).toString,
       "child_heap_gb" -> childHeapGb.toString,
       "scale_mult" -> scaleMult.toString,
@@ -369,6 +371,40 @@ object Bench {
     val bench0 = System.nanoTime()
     def benchLeft = benchBudget - (System.nanoTime() - bench0) / 1e9
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // write-once corpus screen (the SpatialIndex analog for text): prep
+    // cost paid once, then the per-batch near-dup screen against the
+    // parquet index vs the r3 inline plan that recomputed the full-corpus
+    // minhash per run — the number that justifies the index at scale
+    try {
+      import graft.ops.TextSim
+      import org.apache.spark.sql.functions.{col, lit}
+      val screenOut = s"$localDir/corpus_screen"
+      val probe = graft.Tables.parquet(spark, s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 50 === 0)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val tp0 = System.nanoTime()
+      TextSim.writeCorpusScreen(spark, sfDir, screenOut)
+      sp("screen_prep_sec") =
+        (math.rint((System.nanoTime() - tp0) / 1e6) / 1e3).toString
+      def t(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val idx = TextSim.readCorpusScreen(spark, screenOut)
+      val ti = (1 to 2).map(_ =>
+        t(TextSim.nearDupScreen(spark, probe, idx).count())).min
+      val inline = TextSim.corpusScreen(spark, sfDir, persist = false)
+      val tn = (1 to 2).map(_ =>
+        t(TextSim.nearDupScreen(spark, probe, inline).count())).min
+      sp("screen_batch_indexed_sec") = (math.rint(ti * 1e3) / 1e3).toString
+      sp("screen_batch_inline_sec") = (math.rint(tn * 1e3) / 1e3).toString
+      snapshot(fullLine)
+    } catch {
+      case e: Throwable =>
+        errors("corpus_screen") =
+          e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+    }
 
     try {
       // pre-generate the spatial inputs ONCE at full parallelism: each

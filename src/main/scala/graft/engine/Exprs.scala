@@ -94,6 +94,78 @@ object CellEnum {
   }
 }
 
+/** Exact ray-cast point-in-polygon over the cover table's flat
+  * (coords, ringEnds) int-array columns, reading the UnsafeArrayData
+  * in place — no boxed Seq, no toArray copy, no per-row Geo.G + edge
+  * index build (the probe tests ONE point per candidate row, so the
+  * index could never amortize). Same exact rules as [[Geo.locate]]:
+  * ON counts as inside, half-open horizontal-ray crossing with exact
+  * long-arithmetic sign tests. Pinned by the EngineOpsSpec batch/stream
+  * PiP parity tests against the full join.
+  */
+object Pip {
+  def inside(px: Int, py: Int, cs: ArrayData, re: ArrayData): Boolean = {
+    var crossings = 0
+    val nRings = re.numElements()
+    var r = 0
+    var start = 0
+    while (r < nRings) {
+      val end = re.getInt(r)
+      var i = start
+      while (i < end) {
+        val j = if (i + 1 == end) start else i + 1
+        val ax = cs.getInt(2 * i); val ay = cs.getInt(2 * i + 1)
+        val bx = cs.getInt(2 * j); val by = cs.getInt(2 * j + 1)
+        if (graft.geom.Geo.onSeg(px, py, ax, ay, bx, by)) return true
+        if ((ay > py) != (by > py)) {
+          val det = (bx - ax).toLong * (py - ay) -
+            (by - ay).toLong * (px - ax)
+          if (by > ay) { if (det > 0) crossings += 1 }
+          else if (det < 0) crossings += 1
+        }
+        i += 1
+      }
+      start = end
+      r += 1
+    }
+    (crossings & 1) == 1
+  }
+}
+
+/** [[Pip.inside]] as a codegen'd expression; children are the engine's own
+  * non-nullable columns, so null handling is skipped by construction. */
+case class PipExpr(x: Expression, y: Expression,
+    coords: Expression, ringEnds: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(x, y, coords, ringEnds)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    Pip.inside(
+      x.eval(input).asInstanceOf[Int], y.eval(input).asInstanceOf[Int],
+      coords.eval(input).asInstanceOf[ArrayData],
+      ringEnds.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cks = children.map(_.genCode(ctx))
+    val childCode = cks.map(_.code).reduce(_ + _)
+    ev.copy(
+      code = childCode + code"""
+        final boolean ${ev.value} = graft.engine.Pip.inside(
+          ${cks(0).value}, ${cks(1).value}, ${cks(2).value}, ${cks(3).value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PipExpr =
+    copy(x = newChildren(0), y = newChildren(1), coords = newChildren(2),
+      ringEnds = newChildren(3))
+}
+
 /** `CellEnum.cells` as a codegen'd Catalyst expression over the packed
   * cover projection's (minX, minY, maxX, maxY, nlvl) columns; cs/lvlMask/w2
   * are plan-time constants. Children are the engine's own non-nullable int

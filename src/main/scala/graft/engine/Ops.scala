@@ -46,7 +46,17 @@ object Knn {
     * dragging a full scan for everyone.
     */
   def pointKnn(spark: SparkSession, pts0: DataFrame,
-      queryFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      queryFilter: org.apache.spark.sql.Column, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // carried-state checkpointing: localCheckpoint by default (fastest;
+    // blocks in executor storage), or a RELIABLE Dataset.checkpoint when
+    // a fault-tolerant dir is supplied — executor loss then recomputes
+    // from files instead of failing the job (same contract as
+    // ConnectedComponents.run; parity in EngineOpsSpec).
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint()
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pts = pts0.select(col("gid"), col("x").cast("long").as("x"),
       col("y").cast("long").as("y"))
@@ -76,7 +86,7 @@ object Knn {
     // drops the result (standard iterative-algorithm pattern; on a real
     // cluster with executor churn, set a checkpoint dir and swap in
     // Dataset.checkpoint).
-    var unresolved = queries0.localCheckpoint()
+    var unresolved = cp(queries0)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1L
     var done = false
@@ -104,15 +114,13 @@ object Knn {
           (col("nc") === k && col("kd") <= guarantee))
         .select(col("kq"))
         .persist(lvl)
-      parts += ranked
+      parts += cp(ranked
         .join(resolvedKeys, col("q_gid") === col("kq"), "left_semi")
-        .select(col("q_gid"), col("gid"), col("dist2"), col("rk"))
-        .localCheckpoint()
+        .select(col("q_gid"), col("gid"), col("dist2"), col("rk")))
       if (wholeWorld) done = true
       else {
-        val next = unresolved
-          .join(resolvedKeys, col("q_gid") === col("kq"), "left_anti")
-          .localCheckpoint()
+        val next = cp(unresolved
+          .join(resolvedKeys, col("q_gid") === col("kq"), "left_anti"))
         done = next.isEmpty
         unresolved = next
       }

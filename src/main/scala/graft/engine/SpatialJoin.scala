@@ -1667,7 +1667,10 @@ object SpatialJoin {
               p.eMin > q.eMax || q.eMin > p.eMax)) return
         var a = p; var b = q
         if (selfJoin) {
-          val c = p.gid.compareTo(q.gid)
+          // binaryCompare, not compareTo: identical byte ordering, but
+          // compareTo is hard-disabled when spark.testing is set (as under
+          // the local-cluster parity spec)
+          val c = p.gid.binaryCompare(q.gid)
           if (c == 0) return
           if (c > 0) { a = q; b = p }
         } else {
@@ -1965,17 +1968,23 @@ object SpatialJoin {
   /** Merge fused partials and assemble relations. */
   def aggregateFromPre(spark: SparkSession, pre: DataFrame,
       cfg: SpatialConfig): DataFrame = {
+    // NO distinct() in these two finalizations (unlike the general path's
+    // aggregate, whose refs-fanout input can seed a pair in both
+    // orientations): kernel emission is pair-canonical — processPair
+    // orders (a,b) by gid for self joins and by side otherwise, and a==b
+    // never reaches the map — so the groupBy leaves exactly one row per
+    // unordered pair and the reversed self-join projection is disjoint
+    // from fwd. The old distinct() was a second full exchange over the
+    // ENTIRE relation output, the biggest dataset in the job at scale.
     if (cfg.mode == "distance") {
       val agg = pre.groupBy(col("gidA"), col("gidB"))
         .agg(min(col("dist")).as("dist"))
       val fwd = agg.select(col("gidA").as("a_id"), col("dist"),
         col("gidB").as("b_id"))
-      val rels =
-        if (cfg.selfJoin)
+      return if (cfg.selfJoin)
           fwd.union(agg.select(col("gidB").as("a_id"), col("dist"),
             col("gidA").as("b_id")))
         else fwd
-      return rels.distinct()
     }
     if (cfg.mode == "de9im") {
       // the unary-packed matrix (see packMat) makes the multi-sub merge a
@@ -1987,13 +1996,11 @@ object SpatialJoin {
       val fwd = agg.select(col("gidA").as("a_id"),
         matStrCol("mat", transposed = false).as("de9im"),
         col("gidB").as("b_id"))
-      val rels =
-        if (cfg.selfJoin)
+      return if (cfg.selfJoin)
           fwd.union(agg.select(col("gidB").as("a_id"),
             matStrCol("mat", transposed = true).as("de9im"),
             col("gidA").as("b_id")))
         else fwd
-      return rels.distinct()
     }
     // one hash exchange on the pair key, then a streaming merge: rows of
     // complete pairs (nA==1 && nB==1 — exactly one kernel row exists for

@@ -34,8 +34,9 @@ object SpatialQueries {
   /** Deterministic lon/lat points from orders, projected with the engine's
     * int web-mercator projection (graft.geom.Geo). */
   private def pts(s: SparkSession, dir: String): DataFrame = {
-    val px = udf((lon: Double) => Geo.projX(lon))
-    val py = udf((lat: Double) => Geo.projY(lat))
+    import org.apache.spark.sql.GraftInternal.{colOf, exprOf}
+    def px(c: Column) = colOf(graft.sql.StMercator(exprOf(c), xAxis = true))
+    def py(c: Column) = colOf(graft.sql.StMercator(exprOf(c), xAxis = false))
     graft.Tables.parquet(s, s"$dir/orders.parquet").select(
       col("o_orderkey").as("gid"),
       (((col("o_orderkey") * 7919) % 360000) / 1000.0 - 180.0).as("lon"),
@@ -260,35 +261,54 @@ object SpatialQueries {
   /** Deterministic rectangle WKT lines -> full engine pipeline. The
     * variant arrays give each of the `dx1.length` per-cell variants its
     * rectangle corner offsets from the 8°x5°-spaced cell base. */
-  private def rectJoin(s: SparkSession, dir: String, cfg: SpatialConfig,
-      dx1: Array[Int] = rectDx1, dy1: Array[Int] = rectDy1,
-      dx2: Array[Int] = rectDx2, dy2: Array[Int] = rectDy2): DataFrame = {
-    import s.implicits._
-    val nv = dx1.length
-    def off(a: Array[Int], v: Column) =
-      element_at(array(a.map(lit): _*), v + 1)
-    val base = graft.Tables.parquet(s, s"$dir/orders.parquet")
-      .filter(col("o_orderkey") <= 30000)
+  /** (gid, v, bx, by) cell-variant base over orders: `nv` variants per
+    * 8°x5°-spaced cell, gid-capped so pair work is sf-independent. */
+  private def rectBase(s: SparkSession, dir: String, nv: Int,
+      cap: Int = 30000): DataFrame =
+    graft.Tables.parquet(s, s"$dir/orders.parquet")
+      .filter(col("o_orderkey") <= cap)
       .select(col("o_orderkey").cast("long").as("gid"))
       .withColumn("cell", (floor(col("gid") / nv) % 960).cast("int"))
       .withColumn("v", (col("gid") % nv).cast("int"))
       .withColumn("bx", col("cell") % 40 * 8 - 160)
       .withColumn("by", floor(col("cell") / 40).cast("int") * 5 - 60)
-      .select(col("gid"),
-        (col("bx") + off(dx1, col("v"))).as("lon1"),
-        (col("by") + off(dy1, col("v"))).as("lat1"),
-        (col("bx") + off(dx2, col("v"))).as("lon2"),
-        (col("by") + off(dy2, col("v"))).as("lat2"))
-    def cs(c: Column) = c.cast("string")
-    val lines = base.select(concat(
-      cs(col("gid")), lit("\tPOLYGON(("),
-      cs(col("lon1")), lit(" "), cs(col("lat1")), lit(", "),
-      cs(col("lon2")), lit(" "), cs(col("lat1")), lit(", "),
-      cs(col("lon2")), lit(" "), cs(col("lat2")), lit(", "),
-      cs(col("lon1")), lit(" "), cs(col("lat2")), lit(", "),
-      cs(col("lon1")), lit(" "), cs(col("lat1")), lit("))")).as("line"))
-      .as[String]
-    val (geoms, refs) = Model.parseLines(s, lines)
+
+  private def csCol(c: Column) = c.cast("string")
+
+  /** "((x1 y1, x2 y1, x2 y2, x1 y2, x1 y1))" — one rectangle ring. */
+  private def rectRing(lon1: Column, lat1: Column,
+      lon2: Column, lat2: Column): Column =
+    concat(lit("(("),
+      csCol(lon1), lit(" "), csCol(lat1), lit(", "),
+      csCol(lon2), lit(" "), csCol(lat1), lit(", "),
+      csCol(lon2), lit(" "), csCol(lat2), lit(", "),
+      csCol(lon1), lit(" "), csCol(lat2), lit(", "),
+      csCol(lon1), lit(" "), csCol(lat1), lit("))"))
+
+  private def off(a: Array[Int], v: Column) =
+    element_at(array(a.map(lit): _*), v + 1)
+
+  /** Per-variant ring from offset arrays, anchored at the cell base. */
+  private def variantRing(b: DataFrame, dx1: Array[Int], dy1: Array[Int],
+      dx2: Array[Int], dy2: Array[Int]): Column =
+    rectRing(col("bx") + off(dx1, col("v")), col("by") + off(dy1, col("v")),
+      col("bx") + off(dx2, col("v")), col("by") + off(dy2, col("v")))
+
+  private def rectGeoms(s: SparkSession, dir: String,
+      dx1: Array[Int], dy1: Array[Int], dx2: Array[Int], dy2: Array[Int])
+      : (org.apache.spark.sql.Dataset[SubGeom],
+         org.apache.spark.sql.Dataset[RefEdge]) = {
+    import s.implicits._
+    val base = rectBase(s, dir, dx1.length)
+    val lines = base.select(concat(csCol(col("gid")), lit("\tPOLYGON"),
+      variantRing(base, dx1, dy1, dx2, dy2)).as("line")).as[String]
+    Model.parseLines(s, lines)
+  }
+
+  private def rectJoin(s: SparkSession, dir: String, cfg: SpatialConfig,
+      dx1: Array[Int] = rectDx1, dy1: Array[Int] = rectDy1,
+      dx2: Array[Int] = rectDx2, dy2: Array[Int] = rectDy2): DataFrame = {
+    val (geoms, refs) = rectGeoms(s, dir, dx1, dy1, dx2, dy2)
     SpatialJoin.run(s, geoms, refs, cfg)
   }
 
@@ -492,11 +512,218 @@ object SpatialQueries {
       .stripMargin
   }
 
+  // ---------------------------------------------------- rect multi / refs
+  // Puts the aggregation semantics that were previously fixture-pinned
+  // only (A3 equals-via-sub-coverage, A4 contains/covers all-subs, A5
+  // covers-incomplete => overlaps, A6 touch retraction, A9/A10 reference
+  // fanout + self relations, P9 duplicate rewrite) under the independent
+  // DuckDB hash oracle. Six multi variants per cell: v0 two disjoint
+  // parts (the anchor), v1 = v0's first part alone, v2 = exact duplicate
+  // of v0 (equals via sub-coverage), v3 nested inside both parts of v0,
+  // v4 a bridge touching both parts edge-on, v5 a single box covering v3
+  // and v4 entirely but each part of v0 only partially (the A5 case).
+  // The twin computes the pairwise OGC semantics in closed interval form
+  // over a parts table: covers = every part of B covered by SOME part of
+  // A (parts are disjoint-or-nested by construction, so pairwise and
+  // union coverage coincide), interiors-intersect = any open part
+  // overlap, touches = contact without interior overlap, equals =
+  // MULTISET part equality both ways with equal part counts (the
+  // reference's per-sub rule, RelAgg.scala:94 — not union equality).
+  private val mDx10 = Array(0, 0, 0, 1, 2, 1)
+  private val mDy10 = Array(0, 0, 0, 0, 0, 0)
+  private val mDx20 = Array(2, 2, 2, 2, 4, 5)
+  private val mDy20 = Array(1, 1, 1, 1, 1, 2)
+  // part 1 exists for v in {0, 2, 3}
+  private val mDx11 = Array(4, 0, 4, 4, 0, 0)
+  private val mDx21 = Array(6, 0, 6, 5, 0, 0)
+
+  def spRectMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = rectBase(s, dir, 6, cap = 24000)
+    val r0 = variantRing(base, mDx10, mDy10, mDx20, mDy20)
+    val r1 = rectRing(col("bx") + off(mDx11, col("v")), col("by"),
+      col("bx") + off(mDx21, col("v")), col("by") + 1)
+    val payload = when(col("v").isin(0, 2, 3),
+        concat(lit("MULTIPOLYGON("), r0, lit(", "), r1, lit(")")))
+      .otherwise(concat(lit("POLYGON"), r0))
+    val lines = base
+      .select(concat(csCol(col("gid")), lit("\t"), payload).as("line"))
+      .as[String]
+    val (geoms, refs) = Model.parseLines(s, lines)
+    SpatialJoin.run(s, geoms, refs, SpatialConfig())
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
+  }
+
+  /** The refs-fanout path under the hash oracle: the six rect-relate
+    * variants plus v6 = `<v0>` (single-target reference alias) and v7 =
+    * `<v0, v1>` (two-target composite reference — its geometry is the
+    * COLLECTION of both targets' boxes, with v1 nested inside v0). The
+    * interesting A9+A3 interplay: v7 covers-and-is-covered-by v0 (every
+    * sub covered each way, combined across the two fanout targets) yet is
+    * NOT equal to it — the reference's equals rule is per-sub equality
+    * with equal sub counts (RelAgg.scala:94, mirrored in the twin's
+    * multiset rule), not point-set-union equality, and v7 has two subs to
+    * v0's one. dupMinPoints = 0 forces every exact duplicate (v4, and
+    * every cross-generation repeat of a cell slot) through the P9
+    * duplicate->reference rewrite, so P9 + fanout + A10 self seeds all
+    * sit inside the oracled pipeline. The twin simply expands every
+    * alias to its target parts — the semantic contract of refs — and
+    * reuses the parts-table predicate derivation. */
+  def spRectRefs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = rectBase(s, dir, 8, cap = 24000)
+    val d8x1 = rectDx1 ++ Array(0, 0); val d8y1 = rectDy1 ++ Array(0, 0)
+    val d8x2 = rectDx2 ++ Array(0, 0); val d8y2 = rectDy2 ++ Array(0, 0)
+    val poly = concat(lit("POLYGON"), variantRing(base, d8x1, d8y1, d8x2, d8y2))
+    val payload = when(col("v") === 6,
+        concat(lit("<"), csCol(col("gid") - 6), lit(">")))
+      .when(col("v") === 7,
+        concat(lit("<"), csCol(col("gid") - 7), lit(", "),
+          csCol(col("gid") - 6), lit(">")))
+      .otherwise(poly)
+    val lines = base
+      .select(concat(csCol(col("gid")), lit("\t"), payload).as("line"))
+      .as[String]
+    val (geoms, refs) = Model.parseLines(s, lines)
+    SpatialJoin.run(s, geoms, refs, SpatialConfig(dupMinPoints = 0))
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
+  }
+
+  /** The `-c/--cache` preprocessed-index path under the hash oracle:
+    * write the packed SpatialIndex for the rect-relate input to a scratch
+    * dir, self-join FROM the index — output must equal sp_rect_relate's,
+    * so it shares sqlRectRelate as its DuckDB twin. */
+  def spRectIndex(s: SparkSession, dir: String): DataFrame = {
+    val (geoms, refs) = rectGeoms(s, dir, rectDx1, rectDy1, rectDx2, rectDy2)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_index_rect").getAbsolutePath
+    SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
+    SpatialIndex.selfJoin(s, path, SpatialConfig())
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
+  }
+
+  /** Parts-table predicate derivation shared by the multi and refs twins:
+    * `d` must provide one row per part (gid, cell, lon1, lat1, lon2,
+    * lat2) with lon1<lon2, lat1<lat2. */
+  private def sqlPartsPredicates(withD: String): String = {
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    s"""$withD,
+       |r AS (
+       |  SELECT gid, cell,
+       |    ${pjx("lon1")} AS x1, ${pjy("lat1")} AS y1,
+       |    ${pjx("lon2")} AS x2, ${pjy("lat2")} AS y2
+       |  FROM d),
+       |pp AS (
+       |  SELECT DISTINCT a.gid AS a_gid, b.gid AS b_gid
+       |  FROM r a JOIN r b ON a.cell = b.cell AND a.gid <> b.gid
+       |  WHERE a.x1 <= b.x2 AND b.x1 <= a.x2
+       |    AND a.y1 <= b.y2 AND b.y1 <= a.y2),
+       |q AS (
+       |  SELECT p.a_gid, p.b_gid,
+       |    EXISTS (SELECT 1 FROM r a, r b
+       |      WHERE a.gid = p.a_gid AND b.gid = p.b_gid
+       |        AND greatest(a.x1, b.x1) < least(a.x2, b.x2)
+       |        AND greatest(a.y1, b.y1) < least(a.y2, b.y2)) AS ii,
+       |    NOT EXISTS (SELECT 1 FROM r b2 WHERE b2.gid = p.b_gid
+       |      AND NOT EXISTS (SELECT 1 FROM r a2 WHERE a2.gid = p.a_gid
+       |        AND a2.x1 <= b2.x1 AND b2.x2 <= a2.x2
+       |        AND a2.y1 <= b2.y1 AND b2.y2 <= a2.y2)) AS cab,
+       |    NOT EXISTS (SELECT 1 FROM r a3 WHERE a3.gid = p.a_gid
+       |      AND NOT EXISTS (SELECT 1 FROM r b3 WHERE b3.gid = p.b_gid
+       |        AND b3.x1 <= a3.x1 AND a3.x2 <= b3.x2
+       |        AND b3.y1 <= a3.y1 AND a3.y2 <= b3.y2)) AS cba,
+       |    (SELECT count(*) FROM r ca WHERE ca.gid = p.a_gid) =
+       |      (SELECT count(*) FROM r cb WHERE cb.gid = p.b_gid)
+       |    AND NOT EXISTS (SELECT 1 FROM r a4 WHERE a4.gid = p.a_gid
+       |      AND NOT EXISTS (SELECT 1 FROM r b4 WHERE b4.gid = p.b_gid
+       |        AND b4.x1 = a4.x1 AND a4.x2 = b4.x2
+       |        AND b4.y1 = a4.y1 AND a4.y2 = b4.y2))
+       |    AND NOT EXISTS (SELECT 1 FROM r b5 WHERE b5.gid = p.b_gid
+       |      AND NOT EXISTS (SELECT 1 FROM r a5 WHERE a5.gid = p.a_gid
+       |        AND a5.x1 = b5.x1 AND b5.x2 = a5.x2
+       |        AND a5.y1 = b5.y1 AND b5.y2 = a5.y2)) AS eqq
+       |  FROM pp p)
+       |SELECT a_gid, 'intersects' AS pred, b_gid FROM q
+       |UNION ALL SELECT a_gid, 'covers', b_gid FROM q WHERE cab
+       |UNION ALL SELECT a_gid, 'contains', b_gid FROM q WHERE cab AND ii
+       |UNION ALL SELECT a_gid, 'equals', b_gid FROM q WHERE eqq
+       |UNION ALL SELECT a_gid, 'touches', b_gid FROM q WHERE NOT ii
+       |UNION ALL SELECT a_gid, 'overlaps', b_gid FROM q
+       |  WHERE ii AND NOT cab AND NOT cba""".stripMargin
+  }
+
+  private[engine] val sqlRectMulti: String = {
+    def pick(a: Array[Int]) =
+      s"CASE v WHEN 0 THEN ${a(0)} WHEN 1 THEN ${a(1)} WHEN 2 THEN ${a(2)}" +
+        s" WHEN 3 THEN ${a(3)} WHEN 4 THEN ${a(4)} ELSE ${a(5)} END"
+    sqlPartsPredicates(
+      s"""WITH b AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
+         |    (CAST(floor(o_orderkey / 6.0) AS BIGINT) % 960) AS cell,
+         |    CAST(o_orderkey AS BIGINT) % 6 AS v
+         |  FROM orders WHERE o_orderkey <= 24000),
+         |c AS (
+         |  SELECT gid, cell, v,
+         |    (cell % 40) * 8 - 160 AS bx,
+         |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60 AS by
+         |  FROM b),
+         |d AS (
+         |  SELECT gid, cell,
+         |    bx + ${pick(mDx10)} AS lon1, by + ${pick(mDy10)} AS lat1,
+         |    bx + ${pick(mDx20)} AS lon2, by + ${pick(mDy20)} AS lat2
+         |  FROM c
+         |  UNION ALL
+         |  SELECT gid, cell,
+         |    bx + ${pick(mDx11)} AS lon1, by + 0 AS lat1,
+         |    bx + ${pick(mDx21)} AS lon2, by + 1 AS lat2
+         |  FROM c WHERE v IN (0, 2, 3))""".stripMargin)
+  }
+
+  private[engine] val sqlRectRefs: String = {
+    // part 0: v0..v5 = the rect-relate offsets, v6/v7 alias v0's box;
+    // part 1 (v7 only) = v1's box — the alias expansion IS the oracle
+    def pick8(a: Array[Int], dflt: Int) =
+      s"CASE v WHEN 1 THEN ${a(1)} WHEN 2 THEN ${a(2)} WHEN 3 THEN ${a(3)}" +
+        s" WHEN 5 THEN ${a(5)} ELSE $dflt END"
+    sqlPartsPredicates(
+      s"""WITH b AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
+         |    (CAST(floor(o_orderkey / 8.0) AS BIGINT) % 960) AS cell,
+         |    CAST(o_orderkey AS BIGINT) % 8 AS v
+         |  FROM orders WHERE o_orderkey <= 24000),
+         |c AS (
+         |  SELECT gid, cell, v,
+         |    (cell % 40) * 8 - 160 AS bx,
+         |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60 AS by
+         |  FROM b),
+         |d AS (
+         |  SELECT gid, cell,
+         |    bx + ${pick8(rectDx1, 0)} AS lon1,
+         |    by + ${pick8(rectDy1, 0)} AS lat1,
+         |    bx + ${pick8(rectDx2, 4)} AS lon2,
+         |    by + ${pick8(rectDy2, 3)} AS lat2
+         |  FROM c
+         |  UNION ALL
+         |  SELECT gid, cell,
+         |    bx + 1 AS lon1, by + 1 AS lat1, bx + 3 AS lon2, by + 2 AS lat2
+         |  FROM c WHERE v = 7)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_sql_filter" -> (spSqlFilter _),
     "sp_rect_relate" -> (spRectRelate _),
     "sp_rect_de9im" -> (spRectDe9im _),
     "sp_rect_dist" -> (spRectDist _),
+    "sp_rect_multi" -> (spRectMulti _),
+    "sp_rect_refs" -> (spRectRefs _),
+    "sp_rect_index" -> (spRectIndex _),
     "sp_pip_convex" -> (spPipConvex _),
     "sp_seg_intersect" -> (spSegIntersect _),
     "sp_project" -> (spProjectPoints _),
@@ -556,6 +783,10 @@ object SpatialQueries {
     "sp_rect_relate" -> sqlRectRelate,
     "sp_rect_de9im" -> sqlRectDe9im,
     "sp_rect_dist" -> sqlRectDist,
+    "sp_rect_multi" -> sqlRectMulti,
+    "sp_rect_refs" -> sqlRectRefs,
+    // the index path must reproduce sp_rect_relate exactly
+    "sp_rect_index" -> sqlRectRelate,
     "sp_pip_convex" ->
       s"""WITH p AS ($sqlPts)
          |SELECT gid, x, y FROM p

@@ -18,6 +18,78 @@ import org.apache.spark.sql.expressions.Window
   * query side recover the recall a single band loses (measured recall@3
   * >= 0.93 vs brute force on the driver's embeddings, see AnnSpec).
   */
+/** Centroid ranking for IVF assignment, shared by interpreted eval and
+  * codegen. Holds the bounded codebook as flat primitive arrays (ids,
+  * concatenated centroid vectors, norms) — it ships inside the serialized
+  * plan once per stage, like the broadcast it replaces, but the per-row
+  * path reads the input vector's ArrayData in place: no boxed Seq[Double],
+  * no per-row codebook lookup indirection. Scoring and tie-breaks are
+  * EXACTLY the r3 UDF's (dot in index order, sort by (-cos, cid)), so the
+  * q24 DuckDB oracle stays double-for-double. */
+final class IvfRank(ids: Array[Long], flat: Array[Double],
+    norms: Array[Double], m: Int) extends Serializable {
+  def rank(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      norm: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = ids.length
+    val dim = if (n == 0) 0 else flat.length / n
+    val scored = new Array[(Double, Long)](n)
+    var ci = 0
+    while (ci < n) {
+      var dot = 0.0
+      var i = 0
+      val off = ci * dim
+      while (i < dim) { dot += v.getDouble(i) * flat(off + i); i += 1 }
+      scored(ci) = (dot / (norm * norms(ci)), ids(ci))
+      ci += 1
+    }
+    val top = scored.sortBy { case (cos, cid) => (-cos, cid) }
+      .take(m).map(_._2)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(top)
+  }
+}
+
+/** `IvfRank.rank` as a codegen'd expression: array<bigint> of the top-m
+  * centroid ids for (v, norm). Children are the engine's own non-nullable
+  * columns, so null handling is skipped by construction. */
+case class IvfRankExpr(v: org.apache.spark.sql.catalyst.expressions.Expression,
+    norm: org.apache.spark.sql.catalyst.expressions.Expression,
+    ranker: IvfRank)
+    extends org.apache.spark.sql.catalyst.expressions.Expression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+  override def children: Seq[Expression] = Seq(v, norm)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ranker.rank(v.eval(input).asInstanceOf[ArrayData],
+      norm.eval(input).asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfRank", ranker,
+      classOf[IvfRank].getName)
+    val cks = children.map(_.genCode(ctx))
+    ev.copy(
+      code = cks.map(_.code).reduce(_ + _) + code"""
+        final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.rank(${cks(0).value}, ${cks(1).value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): IvfRankExpr =
+    copy(v = newChildren(0), norm = newChildren(1))
+}
+
 object Ann {
 
   final val TABLES = 4
@@ -203,33 +275,23 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(cents)
     // top-m centroid ids by cosine, ties to the smaller id — the exact
     // order row_number() OVER (ORDER BY cos DESC, cid ASC) yields, so the
     // oracle's assignment matches double-for-double (dots are summed in
-    // index order on both sides, like the q23 bucket signs)
-    def rank(v: Seq[Double], norm: Double, m: Int): Array[Long] = {
-      val cs = bc.value
-      val scored = new Array[(Double, Long)](cs.length)
-      var ci = 0
-      while (ci < cs.length) {
-        val (cid, cv, cn) = cs(ci)
-        var dot = 0.0
-        var i = 0
-        while (i < cv.length) { dot += v(i) * cv(i); i += 1 }
-        scored(ci) = (dot / (norm * cn), cid)
-        ci += 1
-      }
-      scored.sortBy { case (cos, cid) => (-cos, cid) }
-        .take(m).map(_._2)
-    }
-    val cellOf = udf { (v: Seq[Double], norm: Double) => rank(v, norm, 1)(0) }
-    val probesOf = udf { (v: Seq[Double], norm: Double) =>
-      rank(v, norm, nprobe) }
-    val assigned = e.withColumn("cell", cellOf(col("v"), col("norm")))
+    // index order on both sides, like the q23 bucket signs). Codebook as
+    // flat primitive arrays inside a codegen'd expression (the r3 version
+    // boxed every vector into a Seq[Double] per row).
+    val ranker1 = new IvfRank(cents.map(_._1),
+      cents.flatMap(_._2), cents.map(_._3), 1)
+    val rankerN = new IvfRank(cents.map(_._1),
+      cents.flatMap(_._2), cents.map(_._3), nprobe)
+    import org.apache.spark.sql.GraftInternal.{colOf, exprOf}
+    def rankCol(r: IvfRank) = colOf(
+      IvfRankExpr(exprOf(col("v")), exprOf(col("norm")), r))
+    val assigned = e.withColumn("cell", rankCol(ranker1).getItem(0))
     val probes = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"),
-        explode(probesOf(col("v"), col("norm"))).as("cell"))
+        explode(rankCol(rankerN)).as("cell"))
     val cands = probes.join(assigned.select(col("vec_id"), col("cell")),
         Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -76,21 +76,33 @@ object ConnectedComponents {
     * canon = the component's minimum node id. Isolated nodes don't appear
     * (the caller left-joins and coalesces to self).
     *
-    * Each round localCheckpoints the new edge set (truncating the
+    * Each round checkpoints the new edge set (truncating the
     * iterative lineage, same hygiene as Knn.pointKnn) and compares a
     * count+hash checksum; at the fixpoint the graph is a forest of stars
-    * child→root, so labels read directly off the edges. */
-  def run(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * child→root, so labels read directly off the edges.
+    *
+    * `checkpointDir`: by default rounds are localCheckpoint'ed — correct
+    * and fastest on a healthy cluster, but localCheckpoint blocks live
+    * only in executor storage, so losing an executor mid-run fails the
+    * job. Pass a (fault-tolerant, e.g. HDFS/S3) directory to switch every
+    * round to a RELIABLE Dataset.checkpoint: executor loss then recomputes
+    * from the checkpoint files instead of failing. Same results either way
+    * (CcSpec runs both). */
+  def run(edges0: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val c = edges0.columns
-    var edges = canon(edges0.select(
-        col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b")))
-      .localCheckpoint(true)
+    var edges = cp(canon(edges0.select(
+        col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b"))))
     var (cnt, hash) = checksum(edges)
     var round = 0
     var converged = cnt == 0L
     while (!converged && round < maxRounds) {
       val prev = edges
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      edges = cp(smallStar(largeStar(edges)))
       val (c2, h2) = checksum(edges)
       converged = c2 == cnt && h2 == hash
       cnt = c2; hash = h2; round += 1

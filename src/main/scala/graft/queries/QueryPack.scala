@@ -223,11 +223,17 @@ object QueryPack {
     import s.implicits._
     val cap = 256L
     val txt = col("text")
+    // defensive null/sign rules, mirrored EXACTLY in the oracle SQL: null
+    // text packs as 0 tokens (a null tok would crash the primitive-tuple
+    // encoder below), rows without a doc_id are unpackable (the greedy
+    // order is keyed on it) and are dropped, and cls uses pmod semantics
+    // on both sides so negative ids agree
     t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id").cast("long"),
         pmod(col("doc_id"), lit(8)).cast("long").as("cls"),
-        (length(txt) - length(regexp_replace(txt, " ", "")) + 1)
-          .cast("long").as("tok"))
+        coalesce((length(txt) - length(regexp_replace(txt, " ", "")) + 1)
+          .cast("long"), lit(0L)).as("tok"))
       .repartition(col("cls"))
       .sortWithinPartitions(col("cls"), col("doc_id"))
       .as[(Long, Long, Long)]
@@ -371,10 +377,10 @@ object QueryPack {
     "q27_seq_pack" ->
       """WITH RECURSIVE d AS (
         | SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |   CAST(doc_id % 8 AS BIGINT) AS cls,
-        |   CAST(length(text) - length(replace(text, ' ', '')) + 1
-        |     AS BIGINT) AS tok
-        | FROM documents),
+        |   CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS cls,
+        |   COALESCE(CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |     AS BIGINT), 0) AS tok
+        | FROM documents WHERE doc_id IS NOT NULL),
         |o AS (SELECT doc_id, cls, tok,
         |  row_number() OVER (PARTITION BY cls ORDER BY doc_id) AS rn
         | FROM d),

@@ -75,13 +75,16 @@ object StreamOps {
         (floor((col("y") + w2) / csL) + SpatialJoin.CELL_BIAS)
     }
     val probed = points.withColumn("cell", explode(array(cellAt: _*)))
-    val inPoly = udf { (x: Int, y: Int, coords: Seq[Int], re: Seq[Int]) =>
-      Geo.locate(x, y, new Geo.G(2, coords.toArray, re.toArray)) != Geo.OUT
-    }
+    // exact refinement as a codegen'd expression over the flat int arrays
+    // (zero boxing, zero copies — the r3 Seq[Int] UDF rebuilt a Geo.G per
+    // candidate row); bbox filter first so the ray cast sees survivors only
+    import org.apache.spark.sql.GraftInternal.{colOf, exprOf}
+    val inPoly = colOf(graft.engine.PipExpr(exprOf(col("x")),
+      exprOf(col("y")), exprOf(col("coords")), exprOf(col("ringEnds"))))
     probed.join(native, "cell")
       .filter(col("x") >= col("minX") && col("x") <= col("maxX") &&
         col("y") >= col("minY") && col("y") <= col("maxY"))
-      .filter(inPoly(col("x"), col("y"), col("coords"), col("ringEnds")))
+      .filter(inPoly)
       .drop("cell", "coords", "ringEnds", "minX", "minY", "maxX", "maxY")
   }
 

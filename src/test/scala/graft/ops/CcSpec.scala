@@ -69,6 +69,21 @@ class CcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runCc(edges) == unionFind(edges))
   }
 
+  test("reliable-checkpoint option == localCheckpoint path") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      (500L until 540L).map(i => (i, i + 1))).filter(e => e._1 != e._2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val reliable = ConnectedComponents
+      .run(edges.toDF("a", "b"), checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == runCc(edges))
+    // the reliable path actually wrote checkpoint files
+    assert(java.nio.file.Files.list(dir).count() > 0)
+  }
+
   private def sfDir: Option[String] =
     Seq("sf0.01", "sf0.001").map(s => s"/root/testdata/$s")
       .find(d => new java.io.File(s"$d/documents.parquet").exists)

@@ -50,6 +50,30 @@ class TextSimSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextSim.bandsProjection(bad)
     }
     assert(e.getMessage.contains("band"))
+    // Spark resolves columns case-insensitively by default, so `Band`
+    // collides exactly like `band` and must be rejected up front too
+    val badCase = Seq((1L, "a b c d", "x")).toDF("doc_id", "text", "Band")
+    val e2 = intercept[IllegalArgumentException] {
+      TextSim.bandsProjection(badCase)
+    }
+    assert(e2.getMessage.contains("Band"))
+  }
+
+  test("write-once corpus screen index == inline screen (q26 batch plan)") {
+    val dir = sfDir
+    assume(dir.isDefined, "driver testdata not present")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus-screen").toString
+    TextSim.writeCorpusScreen(spark, dir.get, out)
+    val idx = TextSim.readCorpusScreen(spark, out)
+    val probe = graft.Tables.parquet(spark, dir.get + "/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = key(TextSim.nearDupScreen(spark, probe, idx))
+    val inline = key(TextSim.nearDupCorpusBatch(spark, dir.get))
+    assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
   test("q27 packing invariant: no bin over 256 tokens unless singleton; " +
