@@ -555,6 +555,97 @@ object SpatialQueries {
         col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
   }
 
+  /** Multi-geometry DISTANCE mode under the hash oracle — the one changed
+    * round-4 code path (the distinct-free multi-sub distance merge in
+    * [[SpatialJoin.aggregateFromPre]]) gated independently of the soak.
+    * Two 2-part MULTIPOLYGON variants per cell, all four part boxes on a
+    * strict diagonal ladder (half-degree 0.5°x0.5° boxes at offsets 0 /
+    * 1 / 2 / 3 in both axes, v0 = rungs {0,2}, v1 = rungs {1,3}), so
+    * EVERY cross-variant part pair is strictly separated in both axes
+    * and its closest approach is provably the facing int-projected
+    * corner pair (the sp_rect_dist argument); the pair distance is the
+    * MIN over the four part pairs — exactly the multi-sub merge.
+    * Same-variant pairs (cross-generation repeats) are identical
+    * geometries at distance 0. In-cell cross-variant minima are ~64-79 km
+    * at every latitude row; the nearest cross-cell approach is >= ~166 km
+    * — outside the 120 km threshold everywhere. */
+  def spRectMdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = rectBase(s, dir, 2, cap = 24000)
+    def part(o0: Double, o1: Double): Column = {
+      val lon1 = col("bx") + when(col("v") === 0, o0).otherwise(o0 + 1.0)
+      val lat1 = col("by") + when(col("v") === 0, o0).otherwise(o0 + 1.0)
+      val lon2 = col("bx") + when(col("v") === 0, o1).otherwise(o1 + 1.0)
+      val lat2 = col("by") + when(col("v") === 0, o1).otherwise(o1 + 1.0)
+      rectRing(lon1, lat1, lon2, lat2)
+    }
+    val payload = concat(lit("MULTIPOLYGON("), part(0.0, 0.5), lit(", "),
+      part(2.0, 2.5), lit(")"))
+    val lines = base
+      .select(concat(csCol(col("gid")), lit("\t"), payload).as("line"))
+      .as[String]
+    val (geoms, refs) = Model.parseLines(s, lines)
+    SpatialJoin
+      .run(s, geoms, refs,
+        SpatialConfig(mode = "distance", withinDist = 120000.0))
+      .filter(col("a_id").cast("long") < col("b_id").cast("long"))
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("b_id").cast("long").as("b_gid"),
+        round(col("dist"), 3).as("dist_m"))
+  }
+
+  private[engine] val sqlRectMdist: String = {
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    // Dist.metersPairD verbatim (same as sqlRectDist)
+    def lat(y: String) =
+      s"(2*atan(exp(($y/10.0)/6378137.0)) - 1.5707965)"
+    def metersD(px: String, py: String, qx: String, qy: String) =
+      s"sqrt((CAST($px AS DOUBLE)-($qx))*(CAST($px AS DOUBLE)-($qx)) + " +
+        s"(CAST($py AS DOUBLE)-($qy))*(CAST($py AS DOUBLE)-($qy)))/10.0 " +
+        s"* cos((${lat(py)} + ${lat(qy)})/2.0)"
+    s"""WITH b AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
+       |    (CAST(floor(o_orderkey / 2.0) AS BIGINT) % 960) AS cell,
+       |    CAST(o_orderkey AS BIGINT) % 2 AS v
+       |  FROM orders WHERE o_orderkey <= 24000),
+       |c AS (
+       |  SELECT gid, cell, v,
+       |    (cell % 40) * 8 - 160 AS bx,
+       |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60 AS by
+       |  FROM b),
+       |d AS (
+       |  SELECT gid, cell, v,
+       |    bx + CASE v WHEN 0 THEN 0.0 ELSE 1.0 END AS lon1,
+       |    by + CASE v WHEN 0 THEN 0.0 ELSE 1.0 END AS lat1,
+       |    bx + CASE v WHEN 0 THEN 0.5 ELSE 1.5 END AS lon2,
+       |    by + CASE v WHEN 0 THEN 0.5 ELSE 1.5 END AS lat2
+       |  FROM c
+       |  UNION ALL
+       |  SELECT gid, cell, v,
+       |    bx + CASE v WHEN 0 THEN 2.0 ELSE 3.0 END,
+       |    by + CASE v WHEN 0 THEN 2.0 ELSE 3.0 END,
+       |    bx + CASE v WHEN 0 THEN 2.5 ELSE 3.5 END,
+       |    by + CASE v WHEN 0 THEN 2.5 ELSE 3.5 END
+       |  FROM c),
+       |r AS (
+       |  SELECT gid, cell, v,
+       |    ${pjx("lon1")} AS x1, ${pjy("lat1")} AS y1,
+       |    ${pjx("lon2")} AS x2, ${pjy("lat2")} AS y2
+       |  FROM d),
+       |pd AS (
+       |  SELECT a.gid AS a_gid, b.gid AS b_gid,
+       |    CASE WHEN a.v = b.v THEN 0.0
+       |         WHEN a.x2 < b.x1 THEN ${metersD("a.x2", "a.y2", "b.x1", "b.y1")}
+       |         ELSE ${metersD("a.x1", "a.y1", "b.x2", "b.y2")} END AS dm
+       |  FROM r a JOIN r b ON a.cell = b.cell AND a.gid < b.gid)
+       |SELECT a_gid, b_gid, round(min(dm), 3) AS dist_m
+       |FROM pd GROUP BY a_gid, b_gid HAVING min(dm) <= 120000""".stripMargin
+  }
+
   /** The refs-fanout path under the hash oracle: the six rect-relate
     * variants plus v6 = `<v0>` (single-target reference alias) and v7 =
     * `<v0, v1>` (two-target composite reference — its geometry is the
@@ -722,6 +813,7 @@ object SpatialQueries {
     "sp_rect_de9im" -> (spRectDe9im _),
     "sp_rect_dist" -> (spRectDist _),
     "sp_rect_multi" -> (spRectMulti _),
+    "sp_rect_mdist" -> (spRectMdist _),
     "sp_rect_refs" -> (spRectRefs _),
     "sp_rect_index" -> (spRectIndex _),
     "sp_pip_convex" -> (spPipConvex _),
@@ -784,6 +876,7 @@ object SpatialQueries {
     "sp_rect_de9im" -> sqlRectDe9im,
     "sp_rect_dist" -> sqlRectDist,
     "sp_rect_multi" -> sqlRectMulti,
+    "sp_rect_mdist" -> sqlRectMdist,
     "sp_rect_refs" -> sqlRectRefs,
     // the index path must reproduce sp_rect_relate exactly
     "sp_rect_index" -> sqlRectRelate,
