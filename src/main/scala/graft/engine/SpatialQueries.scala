@@ -537,7 +537,9 @@ object SpatialQueries {
   private val mDx11 = Array(4, 0, 4, 4, 0, 0)
   private val mDx21 = Array(6, 0, 6, 5, 0, 0)
 
-  def spRectMulti(s: SparkSession, dir: String): DataFrame = {
+  private def multiGeoms(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.Dataset[SubGeom],
+         org.apache.spark.sql.Dataset[RefEdge]) = {
     import s.implicits._
     val base = rectBase(s, dir, 6, cap = 24000)
     val r0 = variantRing(base, mDx10, mDy10, mDx20, mDy20)
@@ -549,10 +551,33 @@ object SpatialQueries {
     val lines = base
       .select(concat(csCol(col("gid")), lit("\t"), payload).as("line"))
       .as[String]
-    val (geoms, refs) = Model.parseLines(s, lines)
+    Model.parseLines(s, lines)
+  }
+
+  def spRectMulti(s: SparkSession, dir: String): DataFrame = {
+    val (geoms, refs) = multiGeoms(s, dir)
     SpatialJoin.run(s, geoms, refs, SpatialConfig())
       .select(col("a_id").cast("long").as("a_gid"),
         col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
+  }
+
+  /** The same multi variant set in DE-9IM mode: gates the packed-matrix
+    * `bit_or` multi-sub merge (cellwise unary-monotone max) plus the
+    * transposed reverse emission. The twin is the cellwise max of the
+    * sqlRectDe9im single-box closed forms over the pair's
+    * BBOX-INTERSECTING part pairs ONLY — the reference's sweep semantics:
+    * disjoint sub-pairs never become candidates, so they contribute
+    * nothing to ANY cell, including the exterior row/column. A documented
+    * consequence the oracle pins: (v0, v1) — v1 equal to v0's first part
+    * — merges to the EQUALS matrix 2FFF1FFF2 even though v0's second
+    * part lies entirely in v1's exterior (point-set DE-9IM would put 2 in
+    * IE); this matches the reference's DE9IM operator+= over candidate
+    * pairs, and the engine reproduces it. */
+  def spRectMde9im(s: SparkSession, dir: String): DataFrame = {
+    val (geoms, refs) = multiGeoms(s, dir)
+    SpatialJoin.run(s, geoms, refs, SpatialConfig(mode = "de9im"))
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("de9im").as("mat"), col("b_id").cast("long").as("b_gid"))
   }
 
   /** Multi-geometry DISTANCE mode under the hash oracle — the one changed
@@ -750,31 +775,108 @@ object SpatialQueries {
        |  WHERE ii AND NOT cab AND NOT cba""".stripMargin
   }
 
-  private[engine] val sqlRectMulti: String = {
+  /** The multi variant parts as a WITH prefix ending in
+    * d(gid, cell, lon1, lat1, lon2, lat2) — shared by the predicate and
+    * DE-9IM twins. */
+  private val sqlMultiPartsWith: String = {
     def pick(a: Array[Int]) =
       s"CASE v WHEN 0 THEN ${a(0)} WHEN 1 THEN ${a(1)} WHEN 2 THEN ${a(2)}" +
         s" WHEN 3 THEN ${a(3)} WHEN 4 THEN ${a(4)} ELSE ${a(5)} END"
-    sqlPartsPredicates(
-      s"""WITH b AS (
-         |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
-         |    (CAST(floor(o_orderkey / 6.0) AS BIGINT) % 960) AS cell,
-         |    CAST(o_orderkey AS BIGINT) % 6 AS v
-         |  FROM orders WHERE o_orderkey <= 24000),
-         |c AS (
-         |  SELECT gid, cell, v,
-         |    (cell % 40) * 8 - 160 AS bx,
-         |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60 AS by
-         |  FROM b),
-         |d AS (
-         |  SELECT gid, cell,
-         |    bx + ${pick(mDx10)} AS lon1, by + ${pick(mDy10)} AS lat1,
-         |    bx + ${pick(mDx20)} AS lon2, by + ${pick(mDy20)} AS lat2
-         |  FROM c
-         |  UNION ALL
-         |  SELECT gid, cell,
-         |    bx + ${pick(mDx11)} AS lon1, by + 0 AS lat1,
-         |    bx + ${pick(mDx21)} AS lon2, by + 1 AS lat2
-         |  FROM c WHERE v IN (0, 2, 3))""".stripMargin)
+    s"""WITH b AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
+       |    (CAST(floor(o_orderkey / 6.0) AS BIGINT) % 960) AS cell,
+       |    CAST(o_orderkey AS BIGINT) % 6 AS v
+       |  FROM orders WHERE o_orderkey <= 24000),
+       |c AS (
+       |  SELECT gid, cell, v,
+       |    (cell % 40) * 8 - 160 AS bx,
+       |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60 AS by
+       |  FROM b),
+       |d AS (
+       |  SELECT gid, cell,
+       |    bx + ${pick(mDx10)} AS lon1, by + ${pick(mDy10)} AS lat1,
+       |    bx + ${pick(mDx20)} AS lon2, by + ${pick(mDy20)} AS lat2
+       |  FROM c
+       |  UNION ALL
+       |  SELECT gid, cell,
+       |    bx + ${pick(mDx11)} AS lon1, by + 0 AS lat1,
+       |    bx + ${pick(mDx21)} AS lon2, by + 1 AS lat2
+       |  FROM c WHERE v IN (0, 2, 3))""".stripMargin
+  }
+
+  private[engine] val sqlRectMulti: String =
+    sqlPartsPredicates(sqlMultiPartsWith)
+
+  /** Multi-aware DE-9IM twin (derivation at [[spRectMde9im]]). */
+  private[engine] val sqlRectMde9im: String = {
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    // per part-pair (a, b) closed forms, as EXISTS bodies over r a, r b
+    val openOv = "greatest(a.x1, b.x1) < least(a.x2, b.x2) AND " +
+      "greatest(a.y1, b.y1) < least(a.y2, b.y2)"
+    val closedOv = "a.x1 <= b.x2 AND b.x1 <= a.x2 AND " +
+      "a.y1 <= b.y2 AND b.y1 <= a.y2"
+    // `edge` box boundary with a positive-length portion strictly inside
+    // `in` box's open interior (sqlRectDe9im's boundaryInInterior)
+    def bii(edge: String, in: String) =
+      s"((((${in}.x1 < ${edge}.x1 AND ${edge}.x1 < ${in}.x2) OR " +
+        s"(${in}.x1 < ${edge}.x2 AND ${edge}.x2 < ${in}.x2)) AND " +
+        "greatest(a.y1, b.y1) < least(a.y2, b.y2)) OR " +
+        s"(((${in}.y1 < ${edge}.y1 AND ${edge}.y1 < ${in}.y2) OR " +
+        s"(${in}.y1 < ${edge}.y2 AND ${edge}.y2 < ${in}.y2)) AND " +
+        "greatest(a.x1, b.x1) < least(a.x2, b.x2)))"
+    val sharedEdge =
+      "((a.x1 = b.x1 OR a.x1 = b.x2 OR a.x2 = b.x1 OR a.x2 = b.x2) AND " +
+        "greatest(a.y1, b.y1) < least(a.y2, b.y2)) OR " +
+        "((a.y1 = b.y1 OR a.y1 = b.y2 OR a.y2 = b.y1 OR a.y2 = b.y2) AND " +
+        "greatest(a.x1, b.x1) < least(a.x2, b.x2))"
+    val strictIn =
+      "(b.x1 < a.x1 AND a.x2 < b.x2 AND b.y1 < a.y1 AND a.y2 < b.y2) OR " +
+        "(a.x1 < b.x1 AND b.x2 < a.x2 AND a.y1 < b.y1 AND b.y2 < a.y2)"
+    val covAB = "a.x1 <= b.x1 AND b.x2 <= a.x2 AND " +
+      "a.y1 <= b.y1 AND b.y2 <= a.y2"
+    val covBA = "b.x1 <= a.x1 AND a.x2 <= b.x2 AND " +
+      "b.y1 <= a.y1 AND a.y2 <= b.y2"
+    def ex(body: String) =
+      "EXISTS (SELECT 1 FROM r a, r b WHERE a.gid = p.a_gid " +
+        s"AND b.gid = p.b_gid AND ($body))"
+    def cse(cond: String, t: String, f: String) =
+      s"CASE WHEN $cond THEN '$t' ELSE '$f' END"
+    val mat = Seq(
+      cse("ii", "2", "F"),
+      cse("ib", "1", "F"),
+      cse("ncb", "2", "F"),
+      cse("bi", "1", "F"),
+      s"CASE WHEN bb1 THEN '1' WHEN bb0 THEN '0' ELSE 'F' END",
+      cse("ncb", "1", "F"),
+      cse("nca", "2", "F"),
+      cse("nca", "1", "F"),
+      "'2'"
+    ).mkString(" || ")
+    s"""$sqlMultiPartsWith,
+       |r AS (
+       |  SELECT gid, cell,
+       |    ${pjx("lon1")} AS x1, ${pjy("lat1")} AS y1,
+       |    ${pjx("lon2")} AS x2, ${pjy("lat2")} AS y2
+       |  FROM d),
+       |pp AS (
+       |  SELECT DISTINCT a.gid AS a_gid, b.gid AS b_gid
+       |  FROM r a JOIN r b ON a.cell = b.cell AND a.gid <> b.gid
+       |  WHERE $closedOv),
+       |q AS (
+       |  SELECT p.a_gid, p.b_gid,
+       |    ${ex(openOv)} AS ii,
+       |    ${ex(bii("b", "a"))} AS ib,
+       |    ${ex(bii("a", "b"))} AS bi,
+       |    ${ex(sharedEdge)} AS bb1,
+       |    ${ex(s"($closedOv) AND NOT ($strictIn) AND NOT ($sharedEdge)")} AS bb0,
+       |    ${ex(s"($closedOv) AND NOT ($covBA)")} AS ncb,
+       |    ${ex(s"($closedOv) AND NOT ($covAB)")} AS nca
+       |  FROM pp p)
+       |SELECT a_gid, $mat AS mat, b_gid FROM q""".stripMargin
   }
 
   private[engine] val sqlRectRefs: String = {
@@ -814,6 +916,7 @@ object SpatialQueries {
     "sp_rect_dist" -> (spRectDist _),
     "sp_rect_multi" -> (spRectMulti _),
     "sp_rect_mdist" -> (spRectMdist _),
+    "sp_rect_mde9im" -> (spRectMde9im _),
     "sp_rect_refs" -> (spRectRefs _),
     "sp_rect_index" -> (spRectIndex _),
     "sp_pip_convex" -> (spPipConvex _),
@@ -877,6 +980,7 @@ object SpatialQueries {
     "sp_rect_dist" -> sqlRectDist,
     "sp_rect_multi" -> sqlRectMulti,
     "sp_rect_mdist" -> sqlRectMdist,
+    "sp_rect_mde9im" -> sqlRectMde9im,
     "sp_rect_refs" -> sqlRectRefs,
     // the index path must reproduce sp_rect_relate exactly
     "sp_rect_index" -> sqlRectRelate,
