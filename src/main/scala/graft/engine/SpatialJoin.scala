@@ -685,6 +685,49 @@ object SpatialJoin {
     * (reference: recursion inside every write*, e.g. Sweeper.cpp:2423-2450).
     * Also seeds self-relation rows for referenced geometries (selfCheck,
     * Sweeper.cpp:2453-2475). */
+  /** Authored `<refs>` edges are parsed one per TARGET id with the
+    * target's sub structure unknown (`targetSub` 0, slots = author
+    * order). That never joins a MULTI-part target's relations: its real
+    * sub ids are 1-based, so an unexpanded edge at targetSub 0 matches no
+    * flag row and the alias silently inherited nothing but the A10 self
+    * seeds (found by the sp_rect_rdist oracle — the reference's own
+    * fixtures only alias single-part geometries, so the 464 ported
+    * assertions could not see it). Expand each authored edge against the
+    * target's real (subId) rows: one edge per target sub, referer slots
+    * renumbered 1-based over (author order, target sub) with nSubs = the
+    * expanded total — identical to the parse numbering when every target
+    * is single-part. Targets with no geometry rows (dangling ids,
+    * composite refs-to-refs) keep their parsed edge, exactly as before. */
+  def expandAuthoredRefs(spark: SparkSession, refs: Dataset[RefEdge],
+      geoms: Dataset[SubGeom]): Dataset[RefEdge] = {
+    import org.apache.spark.sql.expressions.Window
+    val e = refs.toDF()
+    // scale shape: the geometry table is data-sized — never broadcast or
+    // shuffle it whole. Broadcast the (tiny, authored) target-id list to
+    // SEMI-FILTER the geometry scan down to refs-sized, then the left
+    // join against that filtered table is between two alias-table-sized
+    // frames (AQE broadcasts whichever fits).
+    val tgtIds = e.select(col("target").as("t_gid")).distinct()
+    val subs = geoms.toDF()
+      .select(col("gid").as("t_gid"), col("subId").as("t_sub")).distinct()
+      .join(broadcast(tgtIds), Seq("t_gid"), "left_semi")
+    val joined = e.join(subs, e("target") === subs("t_gid"), "left")
+      .withColumn("ts2", coalesce(col("t_sub"), col("targetSub")))
+    val w = Window.partitionBy("referer", "side")
+      .orderBy(col("subId"), col("ts2"))
+    val cw = Window.partitionBy("referer", "side")
+    joined
+      .select(col("referer"), col("side"), col("target"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(cw).as("total"), col("ts2"))
+      .select(col("referer"), col("side"), col("target"),
+        when(col("total") > 1, col("rn")).otherwise(lit(0))
+          .cast("int").as("subId"),
+        col("total").cast("int").as("nSubs"),
+        col("ts2").cast("int").as("targetSub"))
+      .as(org.apache.spark.sql.Encoders.product[RefEdge])
+  }
+
   def fanout(spark: SparkSession, flags: DataFrame,
       edges: Array[RefEdge], geoms: Dataset[SubGeom],
       cfg: SpatialConfig): DataFrame = {
@@ -2228,7 +2271,10 @@ object SpatialJoin {
           spark.sparkContext.clearCallSite(); e }
       else Array.empty[RefEdge]
     spark.sparkContext.setCallSite("graft.refs")
-    val authoredEdges = refs.take(edgeCap)
+    // expand authored edges against multi-part targets' real subs BEFORE
+    // any path split (see expandAuthoredRefs) — identity for single-part
+    // targets, so fixture numReferences counts are untouched
+    val authoredEdges = expandAuthoredRefs(spark, refs, g0).take(edgeCap)
     spark.sparkContext.clearCallSite()
     if (authoredEdges.length >= edgeCap || autoEdges.length >= edgeCap) {
       // too many alias edges for the driver: fully distributed fanout.
@@ -2243,7 +2289,7 @@ object SpatialJoin {
         else spark.emptyDataset(
           org.apache.spark.sql.Encoders.product[RefEdge]))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edgesDs = refs.union(dupDs)
+      val edgesDs = expandAuthoredRefs(spark, refs, g0).union(dupDs)
       lastNumReferences = edgesDs.count()
       val g = g0.toDF().join(
           dupDs.toDF().select(col("referer").as("gid"), col("side"),

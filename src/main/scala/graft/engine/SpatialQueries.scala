@@ -671,6 +671,95 @@ object SpatialQueries {
        |FROM pd GROUP BY a_gid, b_gid HAVING min(dm) <= 120000""".stripMargin
   }
 
+  /** Reference aliases in DISTANCE mode under the hash oracle: the
+    * GENERAL path's distance finalization + fanout + min re-aggregation
+    * (the one distance code path sp_rect_mdist's fused merge does not
+    * reach). The mdist diagonal ladder with nv=4: v0/v1 the two 2-part
+    * MULTIPOLYGONs, v2 = `<v0>` (alias), v3 = `<v0, v1>` (4-part
+    * composite). The twin expands aliases to their target parts and takes
+    * the min over part pairs — identical parts (alias vs original,
+    * composite vs member) are distance 0, every distinct part pair is
+    * diagonal-separated with the provable facing-corner closest
+    * approach. */
+  def spRectRdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = rectBase(s, dir, 4, cap = 24000)
+    def part(o0: Double, o1: Double): Column = {
+      val ev = when(col("v") === 1, 1.0).otherwise(0.0)
+      rectRing(col("bx") + ev + o0, col("by") + ev + o0,
+        col("bx") + ev + o1, col("by") + ev + o1)
+    }
+    val poly = concat(lit("MULTIPOLYGON("), part(0.0, 0.5), lit(", "),
+      part(2.0, 2.5), lit(")"))
+    val payload = when(col("v") === 2,
+        concat(lit("<"), csCol(col("gid") - 2), lit(">")))
+      .when(col("v") === 3,
+        concat(lit("<"), csCol(col("gid") - 3), lit(", "),
+          csCol(col("gid") - 2), lit(">")))
+      .otherwise(poly)
+    val lines = base
+      .select(concat(csCol(col("gid")), lit("\t"), payload).as("line"))
+      .as[String]
+    val (geoms, refs) = Model.parseLines(s, lines)
+    SpatialJoin
+      .run(s, geoms, refs,
+        SpatialConfig(mode = "distance", withinDist = 120000.0))
+      .filter(col("a_id").cast("long") < col("b_id").cast("long"))
+      .select(col("a_id").cast("long").as("a_gid"),
+        col("b_id").cast("long").as("b_gid"),
+        round(col("dist"), 3).as("dist_m"))
+  }
+
+  private[engine] val sqlRectRdist: String = {
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    def lat(y: String) =
+      s"(2*atan(exp(($y/10.0)/6378137.0)) - 1.5707965)"
+    def metersD(px: String, py: String, qx: String, qy: String) =
+      s"sqrt((CAST($px AS DOUBLE)-($qx))*(CAST($px AS DOUBLE)-($qx)) + " +
+        s"(CAST($py AS DOUBLE)-($qy))*(CAST($py AS DOUBLE)-($qy)))/10.0 " +
+        s"* cos((${lat(py)} + ${lat(qy)})/2.0)"
+    s"""WITH b AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
+       |    (CAST(floor(o_orderkey / 4.0) AS BIGINT) % 960) AS cell,
+       |    CAST(o_orderkey AS BIGINT) % 4 AS v
+       |  FROM orders WHERE o_orderkey <= 24000),
+       |c AS (
+       |  SELECT gid, cell, v,
+       |    (cell % 40) * 8 - 160 AS bx,
+       |    CAST(floor(cell / 40.0) AS BIGINT) * 5 - 60 AS by
+       |  FROM b),
+       |e AS (
+       |  SELECT gid, cell, bx, by,
+       |    CASE WHEN v = 1 THEN 1.0 ELSE 0.0 END AS ev
+       |  FROM c
+       |  UNION ALL
+       |  SELECT gid, cell, bx, by, 1.0 FROM c WHERE v = 3),
+       |d AS (
+       |  SELECT gid, cell, bx + ev + 0.0 AS lon1, by + ev + 0.0 AS lat1,
+       |    bx + ev + 0.5 AS lon2, by + ev + 0.5 AS lat2 FROM e
+       |  UNION ALL
+       |  SELECT gid, cell, bx + ev + 2.0, by + ev + 2.0,
+       |    bx + ev + 2.5, by + ev + 2.5 FROM e),
+       |r AS (
+       |  SELECT gid, cell,
+       |    ${pjx("lon1")} AS x1, ${pjy("lat1")} AS y1,
+       |    ${pjx("lon2")} AS x2, ${pjy("lat2")} AS y2
+       |  FROM d),
+       |pd AS (
+       |  SELECT a.gid AS a_gid, b.gid AS b_gid,
+       |    CASE WHEN a.x1 = b.x1 AND a.y1 = b.y1
+       |           AND a.x2 = b.x2 AND a.y2 = b.y2 THEN 0.0
+       |         WHEN a.x2 < b.x1 THEN ${metersD("a.x2", "a.y2", "b.x1", "b.y1")}
+       |         ELSE ${metersD("a.x1", "a.y1", "b.x2", "b.y2")} END AS dm
+       |  FROM r a JOIN r b ON a.cell = b.cell AND a.gid < b.gid)
+       |SELECT a_gid, b_gid, round(min(dm), 3) AS dist_m
+       |FROM pd GROUP BY a_gid, b_gid HAVING min(dm) <= 120000""".stripMargin
+  }
+
   /** The refs-fanout path under the hash oracle: the six rect-relate
     * variants plus v6 = `<v0>` (single-target reference alias) and v7 =
     * `<v0, v1>` (two-target composite reference — its geometry is the
@@ -917,6 +1006,7 @@ object SpatialQueries {
     "sp_rect_multi" -> (spRectMulti _),
     "sp_rect_mdist" -> (spRectMdist _),
     "sp_rect_mde9im" -> (spRectMde9im _),
+    "sp_rect_rdist" -> (spRectRdist _),
     "sp_rect_refs" -> (spRectRefs _),
     "sp_rect_index" -> (spRectIndex _),
     "sp_pip_convex" -> (spPipConvex _),
@@ -981,6 +1071,7 @@ object SpatialQueries {
     "sp_rect_multi" -> sqlRectMulti,
     "sp_rect_mdist" -> sqlRectMdist,
     "sp_rect_mde9im" -> sqlRectMde9im,
+    "sp_rect_rdist" -> sqlRectRdist,
     "sp_rect_refs" -> sqlRectRefs,
     // the index path must reproduce sp_rect_relate exactly
     "sp_rect_index" -> sqlRectRelate,
