@@ -683,7 +683,7 @@ object SpatialQueries {
     * approach. */
   def spRectRdist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = rectBase(s, dir, 4, cap = 24000)
+    val base = rectBase(s, dir, 4, cap = 15360)
     def part(o0: Double, o1: Double): Column = {
       val ev = when(col("v") === 1, 1.0).otherwise(0.0)
       rectRing(col("bx") + ev + o0, col("by") + ev + o0,
@@ -726,7 +726,7 @@ object SpatialQueries {
        |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
        |    (CAST(floor(o_orderkey / 4.0) AS BIGINT) % 960) AS cell,
        |    CAST(o_orderkey AS BIGINT) % 4 AS v
-       |  FROM orders WHERE o_orderkey <= 24000),
+       |  FROM orders WHERE o_orderkey <= 15360),
        |c AS (
        |  SELECT gid, cell, v,
        |    (cell % 40) * 8 - 160 AS bx,
@@ -777,7 +777,11 @@ object SpatialQueries {
     * reuses the parts-table predicate derivation. */
   def spRectRefs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = rectBase(s, dir, 8, cap = 24000)
+    // cap 15360 = two full 960-cell generations of 8 variants: identical
+    // results at sf<=0.01 (only 15000 ids exist), half the gate cost at
+    // sf0.1 (this and sp_rect_rdist are the two forced-general-path
+    // correctness gates, the heaviest queries in the sweep)
+    val base = rectBase(s, dir, 8, cap = 15360)
     val d8x1 = rectDx1 ++ Array(0, 0); val d8y1 = rectDy1 ++ Array(0, 0)
     val d8x2 = rectDx2 ++ Array(0, 0); val d8y2 = rectDy2 ++ Array(0, 0)
     val poly = concat(lit("POLYGON"), variantRing(base, d8x1, d8y1, d8x2, d8y2))
@@ -979,7 +983,7 @@ object SpatialQueries {
          |  SELECT CAST(o_orderkey AS BIGINT) AS gid,
          |    (CAST(floor(o_orderkey / 8.0) AS BIGINT) % 960) AS cell,
          |    CAST(o_orderkey AS BIGINT) % 8 AS v
-         |  FROM orders WHERE o_orderkey <= 24000),
+         |  FROM orders WHERE o_orderkey <= 15360),
          |c AS (
          |  SELECT gid, cell, v,
          |    (cell % 40) * 8 - 160 AS bx,
