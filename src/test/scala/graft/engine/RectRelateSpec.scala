@@ -195,4 +195,49 @@ class RectRelateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.exists(_.endsWith("\t0.0")), "duplicate pairs must report 0")
     assert(got.exists(!_.endsWith("\t0.0")), "corner pairs must be nonzero")
   }
+
+  test("refs to MULTI-part targets: distributed fanout == driver closure, " +
+      "nonzero distances inherited (r4 expandAuthoredRefs fix)") {
+    val s = spark
+    // self-contained diagonal-ladder cells: v0/v1 two-part MULTIPOLYGONs,
+    // v2 = <v0>, v3 = <v0, v1> (the exact shape whose alias inheritance
+    // was silently empty before expandAuthoredRefs)
+    def ring(bx: Int, by: Int, o: Double, e: Double) =
+      s"((${bx + o} ${by + o}, ${bx + e} ${by + o}, ${bx + e} ${by + e}, " +
+        s"${bx + o} ${by + e}, ${bx + o} ${by + o}))"
+    val lines = (0 until 12).flatMap { c =>
+      val bx = c * 8 - 40; val by = (c % 3) * 5 - 10
+      val g = c * 4
+      Seq(
+        s"$g\tMULTIPOLYGON(${ring(bx, by, 0, 0.5)}, ${ring(bx, by, 2, 2.5)})",
+        s"${g + 1}\tMULTIPOLYGON(${ring(bx, by, 1, 1.5)}, ${ring(bx, by, 3, 3.5)})",
+        s"${g + 2}\t<$g>",
+        s"${g + 3}\t<$g, ${g + 1}>")
+    }
+    val (geoms, refs) = Model.parseLines(s,
+      s.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    val gc = geoms.cache(); val rc = refs.cache()
+    try for (cfg <- Seq(
+        SpatialConfig(mode = "distance", withinDist = 120000.0),
+        SpatialConfig())) {
+      def rels(c: SpatialConfig): Seq[(String, String, String)] = {
+        val mid =
+          if (c.mode == "distance") "cast(dist as string)" else "predicate"
+        SpatialJoin.run(s, gc, rc, c).selectExpr("a_id", mid, "b_id")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .toSeq.sorted
+      }
+      val driver = rels(cfg)
+      val dist = rels(cfg.copy(maxDriverEdges = 0))
+      assert(driver.nonEmpty && driver == dist,
+        s"${cfg.mode}: driver=${driver.size} distributed=${dist.size} " +
+          s"diff=${(driver.toSet -- dist.toSet).take(3)} " +
+          s"${(dist.toSet -- driver.toSet).take(3)}")
+      if (cfg.mode == "distance")
+        assert(driver.exists { case (a, d, b) =>
+          (a.toLong % 4 >= 2 || b.toLong % 4 >= 2) && d.toDouble > 1000.0
+        }, "no nonzero alias-inherited distance found (the r4 bug)")
+    } finally { gc.unpersist(); rc.unpersist() }
+  }
 }
