@@ -375,8 +375,13 @@ object Bench {
     // write-once corpus screen (the SpatialIndex analog for text): prep
     // cost paid once, then the per-batch near-dup screen against the
     // parquet index vs the r3 inline plan that recomputed the full-corpus
-    // minhash per run — the number that justifies the index at scale
-    try {
+    // minhash per run — the number that justifies the index at scale.
+    // Budget-gated like every other leg (ADVICE r4: it runs FIRST inside
+    // the spatial wall, so on a degraded host or a small GRAFT_BENCH_WALL
+    // it could otherwise starve the higher-priority spatial legs): the
+    // gate reserves the spatial section's own minimum (~360 s of reserve
+    // the scaling budget already subtracts, plus headline room).
+    if (benchLeft > 600) try {
       import graft.ops.TextSim
       import org.apache.spark.sql.functions.{col, lit}
       val screenOut = s"$localDir/corpus_screen"
@@ -404,7 +409,7 @@ object Bench {
       case e: Throwable =>
         errors("corpus_screen") =
           e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
-    }
+    } else skipped += "corpus_screen"
 
     try {
       // pre-generate the spatial inputs ONCE at full parallelism: each

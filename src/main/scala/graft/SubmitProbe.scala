@@ -54,11 +54,15 @@ object SubmitProbe {
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
-      val execs = spark.sparkContext.statusTracker.getExecutorInfos
-        .filterNot(_.host == "driver")
+      // executor count = block managers minus the driver's own entry.
+      // (The former statusTracker filter compared HOST against the id
+      // string "driver" — normally a no-op, but in local mode host can
+      // equal "driver" and both corrections would apply, off by one.)
+      val execCount =
+        math.max(spark.sparkContext.getExecutorMemoryStatus.size - 1, 0)
       // println goes to the submit log the script greps
       println(f"[submit] rep=$rep sec=$sec%.3f rels=$rels " +
-        s"execs=${math.max(execs.length - 1, 0)} " +
+        s"execs=$execCount " +
         s"cores=${spark.sparkContext.defaultParallelism} " +
         f"cpu=${cpuNs.get / 1e9}%.1f")
     }

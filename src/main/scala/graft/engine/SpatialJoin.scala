@@ -697,7 +697,19 @@ object SpatialJoin {
     * renumbered 1-based over (author order, target sub) with nSubs = the
     * expanded total — identical to the parse numbering when every target
     * is single-part. Targets with no geometry rows (dangling ids,
-    * composite refs-to-refs) keep their parsed edge, exactly as before. */
+    * composite refs-to-refs) keep their parsed edge, exactly as before.
+    *
+    * DELIBERATE DIVERGENCE from the reference's observable output, not
+    * only a fix: the reference stores authored refs at target sub 0
+    * (Sweeper.cpp:740) and its fanout lookups key on the relation row's
+    * actual sub, so for refs to MULTI-part targets the reference emits
+    * NOTHING (the alias inherits no relations). This engine follows the
+    * alias-expansion semantics the sp_rect_rdist oracle pins instead —
+    * an alias of a multi inherits the multi's relations. Byte-parity
+    * with upstream is intentionally broken for such inputs; fixture
+    * parity is unaffected (the reference's fixtures only alias
+    * single-part geometries). Future fixture-parity work must not chase
+    * this as a regression. */
   def expandAuthoredRefs(spark: SparkSession, refs: Dataset[RefEdge],
       geoms: Dataset[SubGeom]): Dataset[RefEdge] = {
     import org.apache.spark.sql.expressions.Window
@@ -2273,8 +2285,20 @@ object SpatialJoin {
     spark.sparkContext.setCallSite("graft.refs")
     // expand authored edges against multi-part targets' real subs BEFORE
     // any path split (see expandAuthoredRefs) — identity for single-part
-    // targets, so fixture numReferences counts are untouched
-    val authoredEdges = expandAuthoredRefs(spark, refs, g0).take(edgeCap)
+    // targets, so fixture numReferences counts are untouched. The
+    // expansion costs a distinct + semi join + window over the geometry
+    // table, so it is SKIPPED entirely when no authored refs exist (the
+    // dominant parseLines case: one cheap limit-1 probe on the tiny refs
+    // lineage instead of an extra job per run); when it does run, the
+    // expanded Dataset is persisted and REUSED by the distributed-fanout
+    // branch below instead of being recomputed from scratch.
+    val expandedRefs: Dataset[RefEdge] =
+      if (refs.isEmpty) null
+      else expandAuthoredRefs(spark, refs, g0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val authoredEdges =
+      if (expandedRefs == null) Array.empty[RefEdge]
+      else expandedRefs.take(edgeCap)
     spark.sparkContext.clearCallSite()
     if (authoredEdges.length >= edgeCap || autoEdges.length >= edgeCap) {
       // too many alias edges for the driver: fully distributed fanout.
@@ -2289,7 +2313,9 @@ object SpatialJoin {
         else spark.emptyDataset(
           org.apache.spark.sql.Encoders.product[RefEdge]))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edgesDs = expandAuthoredRefs(spark, refs, g0).union(dupDs)
+      val edgesDs = (if (expandedRefs != null) expandedRefs
+        else spark.emptyDataset(
+          org.apache.spark.sql.Encoders.product[RefEdge])).union(dupDs)
       lastNumReferences = edgesDs.count()
       val g = g0.toDF().join(
           dupDs.toDF().select(col("referer").as("gid"), col("side"),
@@ -2303,6 +2329,9 @@ object SpatialJoin {
         mayHaveBigMultis = bigMultis)
     }
     val edges = authoredEdges ++ autoEdges
+    // the driver array is materialized; the cached expansion served its
+    // purpose on this (non-distributed) path
+    if (expandedRefs != null) expandedRefs.unpersist(false)
     lastNumReferences = edges.length.toLong
     // drop duplicate sub-geometries from the join input: their relations
     // come from the keeper via fanout

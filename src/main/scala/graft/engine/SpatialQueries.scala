@@ -806,12 +806,24 @@ object SpatialQueries {
     * so it shares sqlRectRelate as its DuckDB twin. */
   def spRectIndex(s: SparkSession, dir: String): DataFrame = {
     val (geoms, refs) = rectGeoms(s, dir, rectDx1, rectDy1, rectDx2, rectDy2)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_index_rect").getAbsolutePath
-    SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
-    SpatialIndex.selfJoin(s, path, SpatialConfig())
-      .select(col("a_id").cast("long").as("a_gid"),
-        col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
+    // unique scratch dir per invocation (ADVICE r4: the former fixed
+    // tmpdir path let two concurrent harness runs overwrite each other's
+    // index between write and selfJoin); the join is MATERIALIZED before
+    // the dir is deleted, so the returned frame never re-reads it
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_index_rect_").toAbsolutePath.toString
+    try {
+      SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
+      SpatialIndex.selfJoin(s, path, SpatialConfig())
+        .select(col("a_id").cast("long").as("a_gid"),
+          col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(path))
+    }
   }
 
   /** Parts-table predicate derivation shared by the multi and refs twins:

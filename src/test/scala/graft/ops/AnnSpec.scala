@@ -34,10 +34,28 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = keySet(Ann.bruteTopK(spark, dir.get, 3))
+    // baseline on the SAME query set the LSH path answers (its own
+    // default sample is the bounded stride set, tested separately below)
+    val pred = org.apache.spark.sql.functions.col("vec_id") % 50 === 0
+    val brute = keySet(Ann.bruteTopK(spark, dir.get, 3, pred))
     val lsh = keySet(Ann.lshTopK(spark, dir.get, 3))
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall@3 = $recall (${brute.size} exact rows)")
+  }
+
+  test("brute baseline query sample is bounded at BRUTE_MAX_QUERIES") {
+    val dir = sfDir("sf0.1").orElse(sfDir("sf0.01"))
+    assume(dir.isDefined, "driver testdata not present")
+    val df = Ann.bruteTopK(spark, dir.get, 5)
+    val nQueries = df.select("q_id").distinct().count()
+    assert(nQueries <= Ann.BRUTE_MAX_QUERIES,
+      s"$nQueries query rows broadcast — the baseline must stay O(n*k)")
+    // and the sample is not degenerate: at n >= BRUTE_MAX_QUERIES the
+    // stride construction yields exactly BRUTE_MAX_QUERIES queries
+    val n = graft.Tables.parquet(spark, s"${dir.get}/embeddings.parquet")
+      .count()
+    if (n >= Ann.BRUTE_MAX_QUERIES)
+      assert(nQueries == Ann.BRUTE_MAX_QUERIES, s"$nQueries of $n")
   }
 
   test("IVF top-k recall@3 vs exact brute force") {
@@ -46,7 +64,8 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = keySet(Ann.bruteTopK(spark, dir.get, 3))
+    val pred = org.apache.spark.sql.functions.col("vec_id") % 50 === 0
+    val brute = keySet(Ann.bruteTopK(spark, dir.get, 3, pred))
     val ivf = keySet(Ann.ivfTopK(spark, dir.get, 3))
     // the driver's embeddings are measured-isotropic (see Ann.IVF_NPROBE
     // doc) — the adversarial case for cell-partitioned ANN, where recall
