@@ -103,10 +103,18 @@ object SpatialQueries {
     val name = "example_id.txt"
     val pages = Pages.fromFixtureLines(s, name, fixtureLines(name))
     val (geoms, refs) = Pages.extract(s, pages)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_index_example").getAbsolutePath
-    SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
-    SpatialIndex.selfJoin(s, path, SpatialConfig())
+    // unique scratch dir + materialize-then-delete, like spRectIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_index_example_").toAbsolutePath.toString
+    try {
+      SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
+      SpatialIndex.selfJoin(s, path, SpatialConfig()).localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(path))
+    }
   }
 
   /** The `st_*` SQL-function surface driven end-to-end: WKT point
@@ -1080,7 +1088,44 @@ object SpatialQueries {
        |FROM orders""".stripMargin
   }
 
+  /** Literal-VALUES DuckDB twins for the fixture queries whose WKT input
+    * DuckDB cannot parse (their semantic oracle is the 464 ported
+    * reference assertions in ScalaTest plus the rect-family hash gates).
+    * The expected row sets — stable across rounds — are snapshotted as
+    * TSV resources and emitted as `SELECT ... FROM (VALUES ...)`, putting
+    * the fixture queries under the driver's hash gate as REGRESSION PINS
+    * (r4 verdict Next #4): any engine change that perturbs a fixture
+    * relation now fails CORRECTNESS, not only `sbt test`. */
+  private def valuesOracle(res: String, cols: Seq[String],
+      doubleCol: String = ""): String = {
+    val in = getClass.getResourceAsStream(s"/graft/oracle/$res.tsv")
+    require(in != null, s"missing oracle snapshot $res.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rows = try src.getLines().toVector finally { src.close(); in.close() }
+    def lit(c: String, v: String): String =
+      if (c == doubleCol) v else "'" + v.replace("'", "''") + "'"
+    val values = rows.map { line =>
+      val fs = line.split("\t", -1)
+      cols.indices.map(i => lit(cols(i), fs(i))).mkString("(", ", ", ")")
+    }.mkString(",\n")
+    val select = cols.map(c =>
+      if (c == doubleCol) s"CAST($c AS DOUBLE) AS $c" else c).mkString(", ")
+    s"SELECT $select FROM (VALUES\n$values\n) AS t(${cols.mkString(", ")})"
+  }
+
   val oracles: Map[String, String] = Map(
+    "sp_join_example" -> valuesOracle("sp_join_example",
+      Seq("a_id", "predicate", "b_id")),
+    "sp_join_refs" -> valuesOracle("sp_join_refs",
+      Seq("a_id", "predicate", "b_id")),
+    "sp_join_multi" -> valuesOracle("sp_join_multi",
+      Seq("a_id", "predicate", "b_id")),
+    "sp_de9im_example" -> valuesOracle("sp_de9im_example",
+      Seq("a_id", "de9im", "b_id")),
+    "sp_dist_refs" -> valuesOracle("sp_dist_refs",
+      Seq("a_id", "dist", "b_id"), doubleCol = "dist"),
+    "sp_index_join" -> valuesOracle("sp_index_join",
+      Seq("a_id", "predicate", "b_id")),
     "sp_rect_relate" -> sqlRectRelate,
     "sp_rect_de9im" -> sqlRectDe9im,
     "sp_rect_dist" -> sqlRectDist,
