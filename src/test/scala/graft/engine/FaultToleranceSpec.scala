@@ -235,6 +235,53 @@ class FaultToleranceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(knnAfterKill.nonEmpty)
   }
 
+  test("dedupStream state survives an executor SIGKILL (loss, not restart)") {
+    // stronger than the restart contract (StreamRestartSpec /
+    // ClusterPipelineSpec): the executor holding state-store partitions
+    // dies WHILE the query keeps running — reassigned state partitions
+    // must reload from the checkpoint's snapshot+delta files on the
+    // surviving/replacement executor, with no query restart
+    val s = cluster
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ft-stream").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp, String)]
+    val sdf = mem.toDF().toDF("url", "ts", "text")
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q = graft.streaming.StreamOps.dedupStream(s, sdf)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.getString(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    // batch 1 establishes suppression state for X and Y
+    mem.addData(("u1", t("2024-01-01 12:00:00"), "X"),
+      ("u2", t("2024-01-01 12:01:00"), "Y"))
+    q.processAllAvailable()
+    assert(got.contains("u1") && got.contains("u2"))
+    // arm the killer: the very next tasks are batch 2's
+    val k = new Killer(cluster, minTasks = 4)
+    try {
+      mem.addData(("u3", t("2024-01-01 12:30:00"), "X"), // dup -> suppress
+        ("u4", t("2024-01-01 12:40:00"), "Z"))
+      q.processAllAvailable()
+      mem.addData(("u5", t("2024-01-01 12:50:00"), "W"))
+      q.processAllAvailable()
+    } finally q.stop()
+    var waited = 0
+    while (k.killedPid < 0 && waited < 20) { Thread.sleep(100); waited += 1 }
+    val pid = k.finish()
+    assert(pid > 0, "executor kill never fired")
+    assert(!got.contains("u3"),
+      "duplicate re-emitted: state lost with the killed executor")
+    assert(got.contains("u4") && got.contains("u5"),
+      s"post-kill batches incomplete: $got")
+  }
+
   test("localCheckpoint mode under executor loss: fails or exact, never wrong") {
     // the DOCUMENTED failure mode: without checkpointDir the carried CC
     // state lives only in executor blocks with truncated lineage; a kill
