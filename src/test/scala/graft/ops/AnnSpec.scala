@@ -76,6 +76,37 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, s"recall@3 = $recall (${brute.size} exact rows)")
   }
 
+  test("BucketsExpr/ProbesExpr codegen == driver-side formula (r5 UDF port)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val bits = 6
+    val vecs = Seq((1L, Seq(0.3, -1.2, 0.8, 2.5)),
+      (2L, Seq(-0.1, 0.0, 1.5, -2.0)))
+    // engine face (codegen path through the DataFrame)
+    val got = Ann.buckets(vecs.toDF("vec_id", "v"), Ann.TABLES, bits)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // independent driver-side recomputation of the documented formula
+    val want = (for {
+      (id, v) <- vecs; t <- 0 until Ann.TABLES
+    } yield (id, t, (0 until bits).map { j =>
+      val stride = t * 7919L + j * 104729L + 12345L
+      val dot = v.zipWithIndex.map { case (x, i) =>
+        x * (((i + 1) * stride) % 1000003L % 17L - 8L) }.sum
+      if (dot > 0) '1' else '0'
+    }.mkString)).toSet
+    assert(got == want)
+    // probe set: 1 + bits + C(bits,2) distinct strings, Hamming <= 2
+    val probes = Ann.multiprobe(
+      Seq((9L, 0, "101010")).toDF("q_id", "t", "bkt"), bits)
+      .collect().map(_.getString(2)).toSet
+    assert(probes.size == 1 + bits + bits * (bits - 1) / 2)
+    assert(probes.forall(p =>
+      p.zip("101010").count { case (a, b) => a != b } <= 2))
+    assert(probes.contains("101010") && probes.contains("001010") &&
+      probes.contains("011010"))
+  }
+
   test("LSH and kNN plans contain no cartesian / nested-loop join") {
     val dir = sfDir("sf0.01").orElse(sfDir("sf0.1"))
     assume(dir.isDefined, "driver testdata not present")
