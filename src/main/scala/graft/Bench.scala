@@ -58,7 +58,7 @@ object Bench {
 
   /** Atomically replace the crash snapshot with a complete JSON line. */
   private def snapshot(json: String): Unit = if (snapshotFile != null) try {
-    val tmp = snapshotFile.resolveSibling(snapshotFile.getFileName + ".tmp")
+    val tmp = snapshotFile.resolveSibling(snapshotFile.getFileName.toString + ".tmp")
     java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, snapshotFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -76,7 +76,8 @@ object SubmitProbe {
       // row string) — equal fp across topologies = byte-identical output
       val row = rels
         .select(xxhash64(concat_ws("|",
-          rels.columns.map(c => col(c).cast("string")): _*)).as("h"))
+          rels.columns.toIndexedSeq.map(c => col(c).cast("string")): _*))
+          .as("h"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
         .head()
       val (nRels, fp) = (row.getLong(0), row.getLong(1))

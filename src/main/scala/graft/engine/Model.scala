@@ -38,7 +38,7 @@ object Model {
 
   def subGeomsOf(row: Wkt.Row): Seq[SubGeom] = {
     val n = row.subs.length
-    row.subs.zipWithIndex.map { case (g, i) =>
+    row.subs.zipWithIndex.toSeq.map { case (g, i) =>
       val subId = if (n == 1) 0 else i + 1
       SubGeom(row.gid, row.side, subId, n, g.kind, g.coords, g.ringEnds,
         g.minX, g.minY, g.maxX, g.maxY)
@@ -47,7 +47,7 @@ object Model {
 
   def refEdgesOf(row: Wkt.Row): Seq[RefEdge] = {
     val n = row.refs.length
-    row.refs.zipWithIndex.map { case (t, i) =>
+    row.refs.zipWithIndex.toSeq.map { case (t, i) =>
       RefEdge(row.gid, row.side, t, if (n == 1) 0 else i + 1, n)
     }
   }
@@ -64,7 +64,7 @@ object Model {
       idOffset: Long = 0L, defaultSide: Int = 0)
       : (Dataset[SubGeom], Dataset[RefEdge]) = {
     import spark.implicits._
-    val rows = lines.rdd.zipWithIndex.flatMap { case (l, i) =>
+    val rows = lines.rdd.zipWithIndex().flatMap { case (l, i) =>
       Wkt.parseLine(l, i + 1 + idOffset, defaultSide)
     }
     val geoms = spark.createDataset(rows.flatMap(subGeomsOf))

@@ -294,7 +294,7 @@ object SpatialQueries {
       csCol(lon1), lit(" "), csCol(lat1), lit("))"))
 
   private def off(a: Array[Int], v: Column) =
-    element_at(array(a.map(lit): _*), v + 1)
+    element_at(array(a.toIndexedSeq.map(lit): _*), v + 1)
 
   /** Per-variant ring from offset arrays, anchored at the cell base. */
   private def variantRing(b: DataFrame, dx1: Array[Int], dy1: Array[Int],

@@ -102,7 +102,7 @@ object TextSim {
       .filter(col("shs").isNotNull)
       .select(col("*") +: sigs: _*)
       .withColumn("_graft_s", explode(array(bandStructs(k, r): _*)))
-      .select((d.columns.map(col) :+ col("shs") :+
+      .select((d.columns.toIndexedSeq.map(col) :+ col("shs") :+
         col("_graft_s.band").as("band") :+
         col("_graft_s.bv").as("bv")): _*)
   }

@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[StPredicate].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[StPredicate].getName, null, name, usage,
+      "", "", "", "", "", "", "")
 
   private def binary(name: String, mk: (Expression, Expression) => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
