@@ -30,6 +30,44 @@ case class EncodeGeom(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[graft.geom.CoordCodec.decode]] boxed into an InternalRow for
+  * [[DecodeGeomExpr]]. */
+object DecodeGeom {
+  def toRow(b: Array[Byte]): InternalRow = {
+    val (cs, re) = graft.geom.CoordCodec.decode(b)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UnsafeArrayData.fromPrimitiveArray(cs),
+        UnsafeArrayData.fromPrimitiveArray(re)))
+  }
+}
+
+/** The read face of [[EncodeGeom]]: the persisted index's delta-varint
+  * payload back to flat (coords, ringEnds) int-array COLUMNS, for
+  * consumers that need the rings outside the fused kernel (the indexed
+  * streaming point-in-polygon screen, [[SpatialIndex.pipScreen]]). One
+  * decode per GEOMETRY row at screen-build time — candidates then read
+  * the arrays in place (PipExpr), never re-decoding per pair. */
+case class DecodeGeomExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("coords", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("ringEnds", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  override protected def nullSafeEval(b: Any): Any =
+    DecodeGeom.toRow(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.engine.DecodeGeom.toRow($b)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DecodeGeomExpr = copy(child = newChild)
+}
+
 /** Flat multi-level cell enumeration for one padded bbox.
   *
   * Replaces the filter(levels)/explode + 4×floor + sequence/explode ×2

@@ -162,6 +162,73 @@ object SpatialIndex {
     } finally packedProbe.unpersist(blocking = false)
   }
 
+  /** Static screen for streaming point-in-polygon enrichment, read from a
+    * written index — the spatial analog of the write-once text corpus
+    * screen ([[graft.ops.TextSim.readCorpusScreen]]): `native` is the
+    * indexed AREAS' native-level cell table with decoded rings + bbox,
+    * ready for the stream-static equi-join in
+    * [[graft.streaming.StreamOps.pointInPolygonIndexed]]. */
+  final case class PipScreen(native: DataFrame, cellSize: Long,
+      levels: Seq[Int])
+
+  /** Build a [[PipScreen]] from a written index. The packed layout is
+    * decoded with two codegen projections (cells via [[CellListExpr]],
+    * rings via [[DecodeGeomExpr]]) — no stats pass, no re-encode — so a
+    * stream (re)start pays a parquet read + one decode per polygon
+    * instead of the full cover preparation the inline face
+    * ([[graft.streaming.StreamOps.pointInPolygon]]) pays per start.
+    * Callers own any persist (the static side of a stream-static join is
+    * re-evaluated every micro-batch). */
+  def pipScreen(spark: SparkSession, path: String): PipScreen = {
+    import org.apache.spark.sql.GraftInternal.{colOf, exprOf}
+    val meta = readMeta(spark, path)
+    require(meta.withinDist < 0, "pip screen needs a predicates-mode " +
+      "index (distance indexes bake padded bboxes into the rows)")
+    if (!meta.eligible) {
+      // raw-layout fallback: rings are already columnar; native cover via
+      // the engine's cover table at the index's baked cell size
+      import spark.implicits._
+      val raw = spark.read.parquet(s"$path/raw").as[SubGeom]
+        .filter(_.kind == 2)
+      val (cover, cs, lv) = SpatialJoin.coverTable(raw,
+        SpatialConfig(cellSize = meta.cellSize))
+      return PipScreen(cover.filter(col("lvl") === col("nlvl"))
+        .select(col("cell"), col("gid"), col("subId"), col("coords"),
+          col("ringEnds"), col("minX"), col("minY"), col("maxX"),
+          col("maxY")), cs, lv)
+    }
+    def hi(c: org.apache.spark.sql.Column) = shiftright(c, 32).cast("int")
+    def lo(c: org.apache.spark.sql.Column) =
+      shiftright(shiftleft(c, 32), 32).cast("int")
+    val nlvlCol = shiftright(col("meta"), 3).bitwiseAND(lit(31)).cast("int")
+    val areas = spark.read.parquet(s"$path/packed")
+      .filter(shiftright(col("meta"), 1).bitwiseAND(lit(3)) === 2)
+    // probe levels = the distinct native levels of the indexed AREAS
+    // (bounded at 16 values; probing a point/line-only level would just
+    // look up empty buckets every micro-batch)
+    val lvls = areas.select(nlvlCol.as("l")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val lvlMask = lvls.foldLeft(0)((m, l) => m | (1 << l))
+    val cells = colOf(CellListExpr(
+      exprOf(hi(col("bb0"))), exprOf(lo(col("bb0"))),
+      exprOf(hi(col("bb1"))), exprOf(lo(col("bb1"))),
+      exprOf(nlvlCol), meta.cellSize, lvlMask, graft.geom.Geo.WORLD_W / 2))
+    val dec = colOf(DecodeGeomExpr(exprOf(col("enc"))))
+    val native = areas
+      .select(explode(cells).as("cell"), col("gid"),
+        shiftright(col("meta"), 8).bitwiseAND(lit(255)).cast("int")
+          .as("subId"),
+        dec.as("g"), nlvlCol.cast("long").as("nlvl"),
+        hi(col("bb0")).as("minX"), lo(col("bb0")).as("minY"),
+        hi(col("bb1")).as("maxX"), lo(col("bb1")).as("maxY"))
+      .filter(shiftright(col("cell"), SpatialJoin.CELL_LVL_SHIFT) ===
+        col("nlvl"))
+      .select(col("cell"), col("gid"), col("subId"),
+        col("g.coords").as("coords"), col("g.ringEnds").as("ringEnds"),
+        col("minX"), col("minY"), col("maxX"), col("maxY"))
+    PipScreen(native, meta.cellSize, lvls)
+  }
+
   private def requireCompatible(meta: IndexMeta, cfg: SpatialConfig)
       : IndexMeta = {
     require(meta.mode == cfg.mode && meta.withinDist == cfg.withinDist,

@@ -834,6 +834,70 @@ object SpatialQueries {
     }
   }
 
+  /** The streaming geo-enrichment path under the hash oracle (batch face
+    * of [[graft.streaming.StreamOps.pointInPolygonIndexed]] — EngineOpsSpec
+    * pins stream == batch on the identical plan): 400 deterministic
+    * axis-aligned rectangle polygons are written ONCE as a
+    * [[SpatialIndex]], read back as the [[SpatialIndex.PipScreen]], and
+    * the point table is tagged through the stream-static cell join +
+    * codegen ray cast. Projected axis-aligned rects stay int boxes, so
+    * the DuckDB twin is a closed-interval BETWEEN over the identical
+    * trunc-projected ints (locate's ON-counts-as-inside = closed
+    * intervals, the sp_rect_relate trick). */
+  def spPipScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nRects = 400
+    val rects = s.range(1, nRects + 1).select(col("id").as("r"),
+        ((col("id") * 37) % 340 - 170).as("lon1"),
+        ((col("id") * 53) % 150 - 75).as("lat1"))
+      .select(col("r"), col("lon1"), col("lat1"),
+        (col("lon1") + 1 + col("r") % 7).as("lon2"),
+        (col("lat1") + 1 + col("r") % 5).as("lat2"))
+    def cs(c: Column) = c.cast("string")
+    val lines = rects.select(concat(
+      cs(col("r")), lit("\tPOLYGON(("),
+      cs(col("lon1")), lit(" "), cs(col("lat1")), lit(", "),
+      cs(col("lon2")), lit(" "), cs(col("lat1")), lit(", "),
+      cs(col("lon2")), lit(" "), cs(col("lat2")), lit(", "),
+      cs(col("lon1")), lit(" "), cs(col("lat2")), lit(", "),
+      cs(col("lon1")), lit(" "), cs(col("lat1")), lit("))")).as("line"))
+      .as[String]
+    val (geoms, refs) = Model.parseLines(s, lines)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pip_screen_").toAbsolutePath.toString
+    try {
+      SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
+      val screen = SpatialIndex.pipScreen(s, path)
+      graft.streaming.StreamOps.pointInPolygonIndexed(
+          pts(s, dir).withColumnRenamed("gid", "pt_gid"), screen)
+        .select(col("pt_gid"), col("gid").cast("long").as("rect_gid"))
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val xs = f.listFiles(); if (xs != null) xs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
+  private val sqlPipScreen: String = {
+    def pjx(lon: String) =
+      s"CAST(trunc(($lon) / 180.0 * 20037508.3427892 * 10.0) AS BIGINT)"
+    def pjy(lat: String) =
+      s"CAST(trunc(ln(tan((90.0 + ($lat)) * pi() / 360.0)) / pi() " +
+        s"* 20037508.3427892 * 10.0) AS BIGINT)"
+    s"""WITH p AS ($sqlPts),
+       |r AS (SELECT r,
+       |  (r*37) % 340 - 170 AS lon1, (r*53) % 150 - 75 AS lat1,
+       |  (r*37) % 340 - 170 + 1 + (r % 7) AS lon2,
+       |  (r*53) % 150 - 75 + 1 + (r % 5) AS lat2
+       | FROM (SELECT unnest(range(1, 401)) AS r))
+       |SELECT p.gid AS pt_gid, r.r AS rect_gid
+       |FROM p, r
+       |WHERE p.x BETWEEN ${pjx("r.lon1")} AND ${pjx("r.lon2")}
+       |  AND p.y BETWEEN ${pjy("r.lat1")} AND ${pjy("r.lat2")}""".stripMargin
+  }
+
   /** Parts-table predicate derivation shared by the multi and refs twins:
     * `d` must provide one row per part (gid, cell, lon1, lat1, lon2,
     * lat2) with lon1<lon2, lat1<lat2. */
@@ -1034,6 +1098,7 @@ object SpatialQueries {
     "sp_rect_refs" -> (spRectRefs _),
     "sp_rect_index" -> (spRectIndex _),
     "sp_pip_convex" -> (spPipConvex _),
+    "sp_pip_screen" -> (spPipScreen _),
     "sp_seg_intersect" -> (spSegIntersect _),
     "sp_project" -> (spProjectPoints _),
     "sp_tiles" -> (spPointTiles _),
@@ -1140,6 +1205,7 @@ object SpatialQueries {
       s"""WITH p AS ($sqlPts)
          |SELECT gid, x, y FROM p
          |WHERE ${sqlPipConvex("x", "y")}""".stripMargin,
+    "sp_pip_screen" -> sqlPipScreen,
     "sp_seg_intersect" ->
       s"""WITH p AS ($sqlSegPts)
          |SELECT gid, x, y FROM p

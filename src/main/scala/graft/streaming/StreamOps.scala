@@ -59,13 +59,31 @@ object StreamOps {
   def pointInPolygon(points: DataFrame,
       polys: org.apache.spark.sql.Dataset[graft.engine.SubGeom]): DataFrame = {
     import graft.engine.{SpatialConfig, SpatialJoin}
-    import graft.geom.Geo
     val areas = polys.filter(_.kind == 2)
     val (cover, cs, lvls) = SpatialJoin.coverTable(areas, SpatialConfig())
     val native = cover.filter(col("lvl") === col("nlvl"))
       .select(col("cell"), col("gid"), col("subId"), col("coords"),
         col("ringEnds"), col("minX"), col("minY"), col("maxX"),
         col("maxY"))
+    pipJoin(points, native, cs, lvls)
+  }
+
+  /** [[pointInPolygon]] against a WRITE-ONCE [[graft.engine.SpatialIndex]]
+    * via its [[graft.engine.SpatialIndex.PipScreen]]: identical join and
+    * output, but the polygon side's preparation (parse, stats pass, cover
+    * derivation) was paid ONCE at index-write time — a stream (re)start
+    * pays a parquet read + one decode projection. The deployment shape for
+    * continuous geo-enrichment of a crawl against a planetary polygon
+    * corpus; same contract as the text corpus screen
+    * ([[graft.ops.TextSim.nearDupScreen]] vs its write-once index). */
+  def pointInPolygonIndexed(points: DataFrame,
+      screen: graft.engine.SpatialIndex.PipScreen): DataFrame =
+    pipJoin(points, screen.native, screen.cellSize, screen.levels)
+
+  private def pipJoin(points: DataFrame, native: DataFrame, cs: Long,
+      lvls: Seq[Int]): DataFrame = {
+    import graft.engine.SpatialJoin
+    import graft.geom.Geo
     val w2 = Geo.WORLD_W / 2
     val cellAt = lvls.map { l =>
       val csL = (cs << (SpatialJoin.LEVEL_FACTOR_BITS * l)).toDouble

@@ -407,6 +407,87 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     polys.unpersist()
   }
 
+  test("indexed PiP screen == inline face == brute force (batch + stream)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/datasets/example_id.txt"), "UTF-8")
+      .getLines().toList
+    val (geoms, refs) = Model.parseLines(spark, spark.createDataset(lines))
+    val polys = geoms.filter(_.kind == 2).cache()
+    val polyArr = polys.collect()
+    val pts = polyArr.flatMap { p =>
+      Seq((p.minX + (p.maxX - p.minX) / 2, p.minY + (p.maxY - p.minY) / 2),
+        (p.minX - 10, p.minY - 10), (p.maxX + 17, p.maxY + 23))
+    }.distinct.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val expected = (for {
+      (id, x, y) <- pts
+      p <- polyArr
+      g = Model.toG(p.kind, p.coords, p.ringEnds)
+      if graft.geom.Geo.locate(x, y, g) != graft.geom.Geo.OUT
+    } yield (id, p.gid, p.subId)).toSet
+    assert(expected.nonEmpty)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.select(col("id"), col("gid"), col("subId")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // write-once index (FULL fixture incl. points/lines — the screen must
+    // select the areas itself), packed layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-pip-idx")
+    val meta = SpatialIndex.write(spark, geoms, refs, SpatialConfig(),
+      dir.toString)
+    assert(meta.eligible, "example fixture should take the packed layout")
+    val screen = SpatialIndex.pipScreen(spark, dir.toString)
+    val ptsDf = pts.toSeq.toDF("id", "x", "y")
+    val indexed = key(
+      graft.streaming.StreamOps.pointInPolygonIndexed(ptsDf, screen))
+    assert(indexed == expected,
+      s"missing=${(expected -- indexed).take(5)} " +
+        s"spurious=${(indexed -- expected).take(5)}")
+    // inline face agrees (same join, corpus prepared per-call)
+    assert(key(graft.streaming.StreamOps.pointInPolygon(ptsDf, polys))
+      == expected)
+    // streaming run over the identical rows against the SAME screen
+    val mem = MemoryStream[(Long, Int, Int)]
+    val q = graft.streaming.StreamOps.pointInPolygonIndexed(
+        mem.toDF().toDF("id", "x", "y"), screen)
+      .writeStream.format("memory").queryName("pip_idx")
+      .outputMode("append").start()
+    mem.addData(pts.toSeq: _*)
+    q.processAllAvailable()
+    val streamed = key(spark.table("pip_idx"))
+    q.stop()
+    assert(streamed == expected)
+    polys.unpersist()
+  }
+
+  test("indexed PiP screen: raw-layout fallback (refs force general path)") {
+    val s = spark
+    import s.implicits._
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/datasets/references"), "UTF-8")
+      .getLines().toList
+    val (geoms, refs) = Model.parseLines(spark, spark.createDataset(lines))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pip-raw")
+    val meta = SpatialIndex.write(spark, geoms, refs,
+      SpatialConfig(dupMinPoints = 0), dir.toString)
+    assume(!meta.eligible, "references fixture should take the raw layout")
+    val screen = SpatialIndex.pipScreen(spark, dir.toString)
+    val polys = geoms.filter(_.kind == 2).cache()
+    val polyArr = polys.collect()
+    assert(polyArr.nonEmpty)
+    val pts = polyArr.map(p =>
+        (p.minX + (p.maxX - p.minX) / 2, p.minY + (p.maxY - p.minY) / 2))
+      .distinct.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.select(col("id"), col("gid"), col("subId")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val ptsDf = pts.toSeq.toDF("id", "x", "y")
+    assert(key(graft.streaming.StreamOps.pointInPolygonIndexed(ptsDf, screen))
+      == key(graft.streaming.StreamOps.pointInPolygon(ptsDf, polys)))
+    polys.unpersist()
+  }
+
   test("P7 inner/outer pre-checks leave join results invariant") {
     // freiburg: big many-vertex admin polygons + points/lines — exercises
     // the reject (outer x outer) and accept (outer in inner) shortcuts;
