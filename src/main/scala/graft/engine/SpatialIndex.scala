@@ -229,6 +229,36 @@ object SpatialIndex {
     PipScreen(native, meta.cellSize, lvls)
   }
 
+  /** Materialize the [[PipScreen]] ITSELF — the pre-exploded native-level
+    * cell table with decoded rings — as parquet clustered by cell. The
+    * static side of a stream-static join is re-evaluated EVERY
+    * micro-batch, so with [[pipScreen]] each batch still pays the decode
+    * + cell-explode projection over the whole corpus; reading THIS
+    * layout, a batch pays only a (cell-clustered, prunable) parquet scan
+    * + the equi-join. Same rationale as the text screen's
+    * bands-clustered layout ([[graft.ops.TextSim.writeCorpusScreen]]);
+    * on a cluster with a metastore, write the same frame as a table
+    * BUCKETED by cell and the join needs no shuffle at all. */
+  def writePipScreen(spark: SparkSession, indexPath: String,
+      out: String): Unit = {
+    import spark.implicits._
+    val sc = pipScreen(spark, indexPath)
+    sc.native.repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$out/native")
+    Seq((VERSION, sc.cellSize, sc.levels.map(_.toLong))).toDF(
+        "version", "cellSize", "levels")
+      .coalesce(1).write.mode("overwrite").json(s"$out/meta")
+  }
+
+  def readPipScreen(spark: SparkSession, out: String): PipScreen = {
+    val m = spark.read.json(s"$out/meta")
+      .select(col("version"), col("cellSize"), col("levels")).head()
+    require(m.getLong(0) == VERSION,
+      s"pip screen version ${m.getLong(0)}, want $VERSION")
+    PipScreen(spark.read.parquet(s"$out/native"),
+      m.getLong(1), m.getSeq[Long](2).map(_.toInt))
+  }
+
   private def requireCompatible(meta: IndexMeta, cfg: SpatialConfig)
       : IndexMeta = {
     require(meta.mode == cfg.mode && meta.withinDist == cfg.withinDist,

@@ -447,6 +447,14 @@ class EngineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // inline face agrees (same join, corpus prepared per-call)
     assert(key(graft.streaming.StreamOps.pointInPolygon(ptsDf, polys))
       == expected)
+    // materialized screen (pre-exploded native cells on parquet) agrees
+    val matDir = java.nio.file.Files.createTempDirectory("graft-pip-mat")
+    SpatialIndex.writePipScreen(spark, dir.toString, matDir.toString)
+    val matScreen = SpatialIndex.readPipScreen(spark, matDir.toString)
+    assert(matScreen.cellSize == screen.cellSize &&
+      matScreen.levels == screen.levels)
+    assert(key(graft.streaming.StreamOps.pointInPolygonIndexed(
+      ptsDf, matScreen)) == expected)
     // streaming run over the identical rows against the SAME screen
     val mem = MemoryStream[(Long, Int, Int)]
     val q = graft.streaming.StreamOps.pointInPolygonIndexed(
