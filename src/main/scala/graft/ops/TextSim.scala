@@ -341,10 +341,36 @@ object TextSim {
       .filter(col("cosine") >= 0.15)
   }
 
+  /** q26 through the WRITE-ONCE parquet index (write → read →
+    * nearDupScreen) instead of the inline corpus prep — identical output
+    * by construction (asserted row-identical in TextSimSpec), so it
+    * shares q26's DuckDB twin; registering it puts the indexed text
+    * path under the driver's hash gate exactly as sp_rect_index gates
+    * the spatial index (r5). */
+  def nearDupIndexedBatch(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_corpus_screen_").toAbsolutePath.toString
+    try {
+      writeCorpusScreen(s, dir, out)
+      nearDupScreen(s,
+        docs(s, dir).filter(col("doc_id") % 50 === 0)
+          .withColumn("ts",
+            lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+        readCorpusScreen(s, out))
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val xs = f.listFiles(); if (xs != null) xs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_minhash_lsh" -> (minhashDedup _),
     "q25_dedup_cc" -> (dedupClusters _),
     "q26_neardup_corpus" -> (nearDupCorpusBatch _),
+    "q28_neardup_indexed" -> (nearDupIndexedBatch _),
     "q18_simhash" -> (simhash _),
     "q19_ngram_jaccard" -> (ngramJaccard _),
     "q20_cosine_pairs" -> (cosinePairs _)
@@ -392,34 +418,39 @@ object TextSim {
        | WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) >= 0.5)"""
       .stripMargin
 
+  private val nearDupCorpusSql: String =
+    s"""$bandsSql,
+       |cands AS (
+       | SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.bv = b.bv
+       | WHERE a.doc_id % 50 = 0),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       | SELECT c.doc_id, c.corpus_id, count(*) AS ni
+       | FROM cands c
+       | JOIN sh sa ON sa.doc_id = c.doc_id
+       | JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
+       | GROUP BY c.doc_id, c.corpus_id)
+       |SELECT inter.doc_id AS doc_id, corpus_id,
+       |  round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = inter.doc_id
+       |JOIN cnt cb ON cb.doc_id = inter.corpus_id
+       |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) >= 0.5"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
     "q17_minhash_lsh" ->
       s"$pairsSql\nSELECT doc_a, doc_b, jaccard FROM pairs",
     // the corpus screen reuses the q17 bands/shingle CTEs, but the
     // candidate join is probe-vs-ALL (self-pairs included) instead of
     // doc_a < doc_b
-    "q26_neardup_corpus" ->
-      s"""$bandsSql,
-         |cands AS (
-         | SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
-         | FROM bands a JOIN bands b
-         |   ON a.band = b.band AND a.bv = b.bv
-         | WHERE a.doc_id % 50 = 0),
-         |sh AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql)),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         | SELECT c.doc_id, c.corpus_id, count(*) AS ni
-         | FROM cands c
-         | JOIN sh sa ON sa.doc_id = c.doc_id
-         | JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
-         | GROUP BY c.doc_id, c.corpus_id)
-         |SELECT inter.doc_id AS doc_id, corpus_id,
-         |  round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) AS jaccard
-         |FROM inter
-         |JOIN cnt ca ON ca.doc_id = inter.doc_id
-         |JOIN cnt cb ON cb.doc_id = inter.corpus_id
-         |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 4) >= 0.5"""
-        .stripMargin,
+    "q26_neardup_corpus" -> nearDupCorpusSql,
+    // q28 = q26 through the write-once index: identical output by
+    // construction, same twin — the gate pins the INDEXED read path
+    "q28_neardup_indexed" -> nearDupCorpusSql,
     // min-reachable-label closure: DuckDB's recursive CTE is the exact
     // (small-scale) twin of the large-star/small-star contraction
     "q25_dedup_cc" ->
