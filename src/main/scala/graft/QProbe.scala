@@ -22,10 +22,16 @@ object QProbe {
             val cpu = i.taskMetrics.executorCpuTime / 1e9
             val run = i.taskMetrics.executorRunTime / 1e3
             val gc = i.taskMetrics.jvmGCTime / 1e3
+            // first graft frame from the long call site identifies which
+            // operator built the stage (the short name is useless for
+            // broadcast-thread jobs)
+            val where = i.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("QProbe"))
+              .map(_.trim.take(80)).getOrElse("")
             if (wall > 0.3) println(
               f"[stage] ${i.stageId}%3d tasks=${i.numTasks}%4d " +
                 f"wall=$wall%7.2f run=$run%8.1f cpu=$cpu%8.1f gc=$gc%6.1f " +
-                f"  ${i.name.takeWhile(_ != '\n').take(60)}")
+                f"  ${i.name.takeWhile(_ != '\n').take(40)} | $where")
           }
         })
     val jobs = new java.util.concurrent.atomic.AtomicInteger
@@ -57,6 +63,18 @@ object QProbe {
       org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
       println(f"[qprobe] $q(2nd) rows=$n2 sec=${(System.nanoTime()-t1)/1e9}%.2f" +
         f" jobs=${jobs.get} jobWall=${jobWall.get / 1e3}%.2f")
+      import graft.engine.SpatialJoin
+      if (SpatialJoin.lastPairTests != null)
+        println(s"[qprobe] $q kernel: pairTests=${SpatialJoin.lastPairTests.value}" +
+          s" exactChecks=${Option(SpatialJoin.lastExactChecks).map(_.value).getOrElse(-1L)}" +
+          s" bboxPass=${Option(SpatialJoin.lastBboxPass).map(_.value).getOrElse(-1L)}" +
+          s" cellPass=${Option(SpatialJoin.lastCellPass).map(_.value).getOrElse(-1L)}")
+      if (SpatialJoin.lastKindNs != null &&
+          SpatialJoin.lastKindN.exists(_.value > 0))
+        for (k <- 0 until 9 if SpatialJoin.lastKindN(k).value > 0)
+          println(f"[kind] ${k / 3}x${k % 3} n=${SpatialJoin.lastKindN(k).value}%9d " +
+            f"cpu_s=${SpatialJoin.lastKindNs(k).value / 1e9}%8.2f " +
+            f"us_each=${SpatialJoin.lastKindNs(k).value / 1e3 / math.max(1, SpatialJoin.lastKindN(k).value)}%8.2f")
     }
     spark.stop()
   }
