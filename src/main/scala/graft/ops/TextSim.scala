@@ -63,13 +63,31 @@ object TextSim {
 
   /** Word 3-gram shingles as ONE array column (no explode): the
     * stateless building block of [[bandsProjection]]. Null for docs with
-    * fewer than 3 words (the caller filters). */
-  private def shingleArray(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", w(i), w(i + 1), w(i + 2))))
-  }
+    * fewer than 3 words (the caller filters).
+    *
+    * PERF (r6, guide §2.3/§7.2): the r5 form inlined `split(text, " ")`
+    * at every element access inside the transform lambda — Catalyst does
+    * not subexpression-eliminate inside lambda bodies, so the text was
+    * re-split ~3x PER SHINGLE (O(words²) per document). Worse, the
+    * caller's `filter(shs.isNotNull)` pushed this whole expression below
+    * the scan's repartition, re-evaluating it single-threaded in the
+    * 1-task scan stage (~2.9 s CPU per pass at sf0.1). The fix binds the
+    * split to a real column once per row ([[withShingles]]) and filters
+    * on the cheap `size(words) >= 3` BEFORE the shingle transform, so the
+    * pushed-down predicate is a string split, not the O(words²) chain,
+    * and shs is non-null by construction. */
+  private def shinglesOfWords(w: Column): Column =
+    transform(sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", w(i), w(i + 1), w(i + 2)))
+
+  /** d filtered to >=3-word rows, plus a non-null `shs` shingle column —
+    * the shared scan shape of the projection paths (row set and `shs`
+    * values identical to the r5 shingleArray + isNotNull filter). */
+  private def withShingles(d: DataFrame): DataFrame =
+    d.withColumn("_graft_w", split(col("text"), " "))
+      .filter(size(col("_graft_w")) >= 3)
+      .withColumn("shs", shinglesOfWords(col("_graft_w")))
+      .drop("_graft_w")
 
   /** Stateless projection form of the minhash LSH bands: shingle array,
     * k salted-md5 minima (array_min == the groupBy min over exploded
@@ -87,7 +105,7 @@ object TextSim {
     * is parity-pinned against minhashBands in TextSimSpec. */
   def bandsProjection(d: DataFrame, k: Int = 12, r: Int = 3): DataFrame = {
     val reserved = Set("shs", "band", "bv") ++
-      (0 until k).map(i => s"sig$i") + "_graft_s"
+      (0 until k).map(i => s"sig$i") ++ Set("_graft_s", "_graft_w")
     // compare case-insensitively: Spark resolves columns case-insensitively
     // by default, so an input column named `Band` would collide downstream
     // just as surely as `band`
@@ -98,8 +116,7 @@ object TextSim {
     val sigs = (0 until k).map(i =>
       array_min(transform(col("shs"),
         sh => md5(concat(lit(i.toLong), lit(":"), sh)))).as(s"sig$i"))
-    d.withColumn("shs", shingleArray(col("text")))
-      .filter(col("shs").isNotNull)
+    withShingles(d)
       .select(col("*") +: sigs: _*)
       .withColumn("_graft_s", explode(array(bandStructs(k, r): _*)))
       .select((d.columns.toIndexedSeq.map(col) :+ col("shs") :+
@@ -156,10 +173,9 @@ object TextSim {
     CorpusScreen(
       maybe(bandsProjection(corpus)
         .select(col("doc_id").as("corpus_id"), col("band"), col("bv"))),
-      maybe(corpus
-        .withColumn("csh", array_distinct(shingleArray(col("text"))))
-        .filter(col("csh").isNotNull)
-        .select(col("doc_id").as("corpus_id"), col("csh"))))
+      maybe(withShingles(corpus)
+        .select(col("doc_id").as("corpus_id"),
+          array_distinct(col("shs")).as("csh"))))
   }
 
   /** Write-once corpus screen index (the SpatialIndex analog for text):
@@ -169,12 +185,31 @@ object TextSim {
     * metastore, write the same frames as BUCKETED tables so the
     * micro-batch join needs no shuffle at all.) */
   def writeCorpusScreen(s: SparkSession, dir: String, out: String): Unit = {
-    val sc = corpusScreen(s, dir, persist = false)
-    sc.bands.repartition(col("band"), col("bv"))
-      .sortWithinPartitions("band", "bv")
-      .write.mode("overwrite").parquet(s"$out/bands")
-    sc.shingles.repartition(col("corpus_id"))
-      .write.mode("overwrite").parquet(s"$out/shingles")
+    // ONE corpus scan + shingle pass feeds BOTH outputs (guide §1.2: the
+    // two r5 write jobs each re-read the text and re-built the shingle
+    // arrays); the shared (doc_id, shs) projection is corpus-sized, so it
+    // is persisted only for the duration of the two writes
+    val base = withShingles(docs(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = 12; val r = 3
+      val sigs = (0 until k).map(i =>
+        array_min(transform(col("shs"),
+          sh => md5(concat(lit(i.toLong), lit(":"), sh)))).as(s"sig$i"))
+      base.select(col("doc_id") +: sigs: _*)
+        .withColumn("_graft_s", explode(array(bandStructs(k, r): _*)))
+        .select(col("doc_id").as("corpus_id"),
+          col("_graft_s.band").as("band"), col("_graft_s.bv").as("bv"))
+        .repartition(col("band"), col("bv"))
+        .sortWithinPartitions("band", "bv")
+        .write.mode("overwrite").parquet(s"$out/bands")
+      base
+        .select(col("doc_id").as("corpus_id"),
+          array_distinct(col("shs")).as("csh"))
+        .repartition(col("corpus_id"))
+        .write.mode("overwrite").parquet(s"$out/shingles")
+    } finally base.unpersist(false)
   }
 
   def readCorpusScreen(s: SparkSession, out: String): CorpusScreen =
