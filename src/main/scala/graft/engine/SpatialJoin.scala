@@ -780,11 +780,14 @@ object SpatialJoin {
     val tgtDf = spark.createDataset(
       edges.map(e => (e.target, e.targetSub)).distinct.toSeq)
       .toDF("t", "ts")
-    val closDf = broadcast(spark.createDataset(
-      closure.toSeq.flatMap { case ((t, ts), rs) =>
-        rs.map(r => (t, ts, r.referer, r.subId, r.nSubs, r.side))
-      }).toDF("c_target", "c_tsub", "c_referer", "c_sub", "c_n", "c_rside"))
-    fanoutWith(spark, flags, closDf, tgtDf, geoms, cfg)
+    // options arrays grouped on the DRIVER (the closure map is already
+    // here): skips the collect_list shuffle+aggregate the grouped-frame
+    // path would pay per query
+    val closArr = broadcast(spark.createDataFrame(
+      closure.toSeq.map { case ((t, ts), rs) =>
+        FanClos(t, ts, rs.map(r => FanOpt(r.referer, r.subId, r.nSubs, r.side)))
+      }))
+    fanoutWith(spark, flags, closArr, tgtDf, geoms, cfg)
   }
 
   /** Distributed fanout for edge sets past cfg.maxDriverEdges: the
@@ -835,20 +838,29 @@ object SpatialJoin {
     // checkpoint each read would re-run the distinct after the unpersist)
     val tgtDf = e.select(col("target").as("t"), col("targetSub").as("ts"))
       .distinct().localCheckpoint()
-    val closDf = clos.select(col("target").as("c_target"),
-      col("targetSub").as("c_tsub"), col("referer").as("c_referer"),
-      col("subId").as("c_sub"), col("nSubs").as("c_n"),
-      col("side").as("c_rside")).localCheckpoint()
-    val out = fanoutWith(spark, flags, closDf, tgtDf, geoms, cfg)
+    val closArr = clos.groupBy(col("target"), col("targetSub"))
+      .agg(collect_list(struct(col("referer").as("g"),
+        col("subId").cast("int").as("sub"), col("nSubs").cast("int").as("n"),
+        col("side").cast("int").as("side"))).as("_graft_opts"))
+      .select(col("target").as("c_target"), col("targetSub").as("c_tsub"),
+        col("_graft_opts"))
+      .localCheckpoint()
+    val out = fanoutWith(spark, flags, closArr, tgtDf, geoms, cfg)
     e.unpersist(false)
     out
   }
 
-  /** Shared fanout tail: expand staged rows through a closure table
-    * (c_target, c_tsub, c_referer, c_sub, c_n, c_rside) and seed
-    * self-relation rows for the referenced targets (t, ts). */
+  /** Closure option row / grouped closure row for the driver-built fanout
+    * tables (field names are the contract of [[fanoutWith]]'s expand). */
+  private final case class FanOpt(g: String, sub: Int, n: Int, side: Int)
+  private final case class FanClos(c_target: String, c_tsub: Int,
+      _graft_opts: Seq[FanOpt])
+
+  /** Shared fanout tail: expand staged rows through a GROUPED closure
+    * table (c_target, c_tsub, _graft_opts: array<struct<g,sub,n,side>>)
+    * and seed self-relation rows for the referenced targets (t, ts). */
   private def fanoutWith(spark: SparkSession, flags: DataFrame,
-      closDf: DataFrame, tgtDf: DataFrame, geoms: Dataset[SubGeom],
+      closArr: DataFrame, tgtDf: DataFrame, geoms: Dataset[SubGeom],
       cfg: SpatialConfig): DataFrame = {
     import spark.implicits._
     // self rows: (target, target) intersect/equal/cover/contain per
@@ -874,16 +886,32 @@ object SpatialJoin {
       .toDF("f", "s")
       .selectExpr("f.*", "s as sideA", "s as sideB")
 
-    def fan(df: DataFrame, onA: Boolean): DataFrame = {
+    // The grouped closure holds ONE options-array row per (target,
+    // targetSub): each staged row expands in a single scan via
+    // explode(identity ++ matches). The r5 shape (base UNION fan(base)
+    // UNION fan(...)) planned the flags lineage once per union branch, so
+    // the exact-refinement RDD was recomputed up to 4x per query (only
+    // the candidate shuffle files were reused); this shape reads it once.
+    def expand(df: DataFrame, onA: Boolean): DataFrame = {
       val key = if (onA) "gidA" else "gidB"
       val subKey = if (onA) "subA" else "subB"
-      df.join(closDf,
-          df(key) === closDf("c_target") && df(subKey) === closDf("c_tsub"))
-        .withColumn(key, col("c_referer"))
-        .withColumn(subKey, col("c_sub"))
-        .withColumn(if (onA) "nA" else "nB", col("c_n"))
-        .withColumn(if (onA) "sideA" else "sideB", col("c_rside"))
-        .drop("c_target", "c_tsub", "c_referer", "c_sub", "c_n", "c_rside")
+      val nKey = if (onA) "nA" else "nB"
+      val sideKey = if (onA) "sideA" else "sideB"
+      val ident = struct(col(key).as("g"), col(subKey).cast("int").as("sub"),
+        col(nKey).cast("int").as("n"), col(sideKey).cast("int").as("side"))
+      val replaced: Map[String, Column] = Map(
+        key -> col("_graft_o.g"), subKey -> col("_graft_o.sub"),
+        nKey -> col("_graft_o.n"), sideKey -> col("_graft_o.side"))
+      // unqualified join keys: closArr is joined twice (A then B side), so
+      // dataframe-qualified refs would hit the self-join ambiguity after
+      // plan deduplication; no name clashes exist by construction
+      df.join(closArr, col(key) === col("c_target") &&
+          col(subKey) === col("c_tsub"), "left")
+        .withColumn("_graft_o", explode(
+          when(col("_graft_opts").isNull, array(ident))
+            .otherwise(concat(array(ident), col("_graft_opts")))))
+        .select(df.columns.toIndexedSeq.map(c =>
+          replaced.getOrElse(c, col(c)).as(c)): _*)
     }
 
     // expand side A (keeping originals), then side B of that result:
@@ -892,8 +920,8 @@ object SpatialJoin {
     val base = flags
       .withColumn("sideA", lit(0)).withColumn("sideB", lit(1))
       .union(selfRows)
-    val withA = base.union(fan(base, onA = true))
-    val withAB = withA.union(fan(withA, onA = false))
+    val withA = expand(base, onA = true)
+    val withAB = expand(withA, onA = false)
 
     if (!cfg.selfJoin) {
       // non-self write discipline (reference writeRel, Sweeper.cpp:2287):
@@ -951,16 +979,24 @@ object SpatialJoin {
     import spark.implicits._
     val pairFlags = flags.filter(col("gidA") =!= col("gidB"))
 
+    // Both-direction emission is an EXPLODE over the one aggregated row,
+    // not a self-union: `fwd.union(agg.select(reversed))` planned the
+    // aggregate's whole input lineage once per branch, so the exact
+    // refinement + fanout were recomputed twice per query (guide §2.4 /
+    // §7.2 — two identical `Scan ExistingRDD` subtrees in the r5 plan).
     if (cfg.mode == "distance") {
       val agg = pairFlags.groupBy(col("gidA"), col("gidB"))
         .agg(min(col("dist")).as("dist"))
-      val fwd = agg.select(col("gidA").as("a_id"), col("dist"),
-        col("gidB").as("b_id"))
       val rels =
         if (cfg.selfJoin)
-          fwd.union(agg.select(col("gidB").as("a_id"), col("dist"),
-            col("gidA").as("b_id")))
-        else fwd
+          agg.select(explode(array(
+              struct(col("gidA").as("a_id"), col("dist"),
+                col("gidB").as("b_id")),
+              struct(col("gidB").as("a_id"), col("dist"),
+                col("gidA").as("b_id")))).as("r"))
+            .select(col("r.a_id"), col("r.dist"), col("r.b_id"))
+        else agg.select(col("gidA").as("a_id"), col("dist"),
+          col("gidB").as("b_id"))
       return rels.distinct()
     }
 
@@ -984,13 +1020,16 @@ object SpatialJoin {
           (ga, Relate.matToString(m), gb, Relate.matToString(Relate.transpose(m)))
         }
         .toDF("gidA", "mat", "gidB", "matT")
-      val fwd = merged.select(col("gidA").as("a_id"), col("mat").as("de9im"),
-        col("gidB").as("b_id"))
       val rels =
         if (cfg.selfJoin)
-          fwd.union(merged.select(col("gidB").as("a_id"),
-            col("matT").as("de9im"), col("gidA").as("b_id")))
-        else fwd
+          merged.select(explode(array(
+              struct(col("gidA").as("a_id"), col("mat").as("de9im"),
+                col("gidB").as("b_id")),
+              struct(col("gidB").as("a_id"), col("matT").as("de9im"),
+                col("gidA").as("b_id")))).as("r"))
+            .select(col("r.a_id"), col("r.de9im"), col("r.b_id"))
+        else merged.select(col("gidA").as("a_id"), col("mat").as("de9im"),
+          col("gidB").as("b_id"))
       return rels.distinct()
     }
 
@@ -2031,15 +2070,21 @@ object SpatialJoin {
     // unordered pair and the reversed self-join projection is disjoint
     // from fwd. The old distinct() was a second full exchange over the
     // ENTIRE relation output, the biggest dataset in the job at scale.
+    // both directions via explode, not a self-union: the union planned the
+    // merge aggregate once per branch (double read of the kernel shuffle
+    // plus a second full aggregation pass) — see aggregate()'s note
     if (cfg.mode == "distance") {
       val agg = pre.groupBy(col("gidA"), col("gidB"))
         .agg(min(col("dist")).as("dist"))
-      val fwd = agg.select(col("gidA").as("a_id"), col("dist"),
-        col("gidB").as("b_id"))
       return if (cfg.selfJoin)
-          fwd.union(agg.select(col("gidB").as("a_id"), col("dist"),
-            col("gidA").as("b_id")))
-        else fwd
+          agg.select(explode(array(
+              struct(col("gidA").as("a_id"), col("dist"),
+                col("gidB").as("b_id")),
+              struct(col("gidB").as("a_id"), col("dist"),
+                col("gidA").as("b_id")))).as("r"))
+            .select(col("r.a_id"), col("r.dist"), col("r.b_id"))
+        else agg.select(col("gidA").as("a_id"), col("dist"),
+          col("gidB").as("b_id"))
     }
     if (cfg.mode == "de9im") {
       // the unary-packed matrix (see packMat) makes the multi-sub merge a
@@ -2048,14 +2093,18 @@ object SpatialJoin {
       // general-path groupByKey.mapGroups decoded strings per row)
       val agg = pre.groupBy(col("gidA"), col("gidB"))
         .agg(expr("bit_or(mat)").as("mat"))
-      val fwd = agg.select(col("gidA").as("a_id"),
-        matStrCol("mat", transposed = false).as("de9im"),
-        col("gidB").as("b_id"))
       return if (cfg.selfJoin)
-          fwd.union(agg.select(col("gidB").as("a_id"),
-            matStrCol("mat", transposed = true).as("de9im"),
-            col("gidA").as("b_id")))
-        else fwd
+          agg.select(explode(array(
+              struct(col("gidA").as("a_id"),
+                matStrCol("mat", transposed = false).as("de9im"),
+                col("gidB").as("b_id")),
+              struct(col("gidB").as("a_id"),
+                matStrCol("mat", transposed = true).as("de9im"),
+                col("gidA").as("b_id")))).as("r"))
+            .select(col("r.a_id"), col("r.de9im"), col("r.b_id"))
+        else agg.select(col("gidA").as("a_id"),
+          matStrCol("mat", transposed = false).as("de9im"),
+          col("gidB").as("b_id"))
     }
     // one hash exchange on the pair key, then a streaming merge: rows of
     // complete pairs (nA==1 && nB==1 — exactly one kernel row exists for
@@ -2184,10 +2233,17 @@ object SpatialJoin {
       case None => geoms
     }
     // an already-cached input (e.g. a bench pre-materialized it outside
-    // the measured window) is reused rather than double-cached
+    // the measured window) is reused rather than double-cached. The flag
+    // is captured BEFORE persist(): persist mutates the storage level of
+    // this same Dataset, and the r5 code read it afterwards — so the
+    // "already cached" dup-scan overlap below fired on EVERY run and the
+    // stats-pass maxCoordLen gate never got the chance to skip the scan
+    // (a full wasted parse+shuffle pass per query on inputs with no
+    // P9-eligible geometry at all).
+    val preCached =
+      inRegion.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val g0 =
-      if (inRegion.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        inRegion
+      if (preCached) inRegion
       else
         inRegion.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE stats pass over the cached input (it also materializes the
@@ -2213,16 +2269,16 @@ object SpatialJoin {
     val edgeCap =
       math.min(Int.MaxValue.toLong, math.max(0, cfg.maxDriverEdges).toLong + 1)
         .toInt
+    def dupScanAsync(c: SpatialConfig): scala.concurrent.Future[Array[RefEdge]] = {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Future {
+        spark.sparkContext.setCallSite("graft.dupscan")
+        try dupEdges(spark, g0, c).take(edgeCap)
+        finally spark.sparkContext.clearCallSite()
+      }
+    }
     val dupFut: scala.concurrent.Future[Array[RefEdge]] =
-      if (cfg.dupMinPoints >= 0 &&
-          inRegion.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-        import scala.concurrent.ExecutionContext.Implicits.global
-        scala.concurrent.Future {
-          spark.sparkContext.setCallSite("graft.dupscan")
-          try dupEdges(spark, g0, cfg).take(edgeCap)
-          finally spark.sparkContext.clearCallSite()
-        }
-      } else null
+      if (cfg.dupMinPoints >= 0 && preCached) dupScanAsync(cfg) else null
     val LVL_BUCKETS = 34 // padded extents fit in 33 bits
     val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
     val extL = ext.cast("long")
@@ -2272,16 +2328,15 @@ object SpatialJoin {
     // expansion instead — cap via dupMinPoints (default 500 points) keeps
     // this to the heavy tail the rewrite is for. The scan is skipped when
     // the stats prove nothing can qualify.
-    val autoEdges =
-      if (cfg.dupMinPoints < 0) Array.empty[RefEdge]
-      else if (dupFut != null)
-        scala.concurrent.Await.result(dupFut,
-          scala.concurrent.duration.Duration.Inf)
+    // cold-path dup scan launches async HERE (the stats head above has
+    // materialized the cache, so there is no first-action race) and is
+    // awaited after the refs probe/expansion below — the two overlap
+    val dupFut2: scala.concurrent.Future[Array[RefEdge]] =
+      if (cfg.dupMinPoints < 0) null
+      else if (dupFut != null) dupFut
       else if (maxCoordLen >= cfg.dupMinPoints * 2 && maxCoordLen > 0)
-        { spark.sparkContext.setCallSite("graft.dupscan")
-          val e = dupEdges(spark, g0, cfgCs).take(edgeCap)
-          spark.sparkContext.clearCallSite(); e }
-      else Array.empty[RefEdge]
+        dupScanAsync(cfgCs)
+      else null
     spark.sparkContext.setCallSite("graft.refs")
     // expand authored edges against multi-part targets' real subs BEFORE
     // any path split (see expandAuthoredRefs) — identity for single-part
@@ -2292,14 +2347,24 @@ object SpatialJoin {
     // lineage instead of an extra job per run); when it does run, the
     // expanded Dataset is persisted and REUSED by the distributed-fanout
     // branch below instead of being recomputed from scratch.
+    // refs is persisted across the probe + expansion reads: the expansion
+    // scans it twice (target list + edge join) and isEmpty once, and the
+    // refs lineage re-ran the full input parse per scan (guide §1.2 —
+    // three parse passes measured per refs query at sf0.1)
+    val refsP = refs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expandedRefs: Dataset[RefEdge] =
-      if (refs.isEmpty) null
-      else expandAuthoredRefs(spark, refs, g0)
+      if (refsP.isEmpty) null
+      else expandAuthoredRefs(spark, refsP, g0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val authoredEdges =
       if (expandedRefs == null) Array.empty[RefEdge]
       else expandedRefs.take(edgeCap)
+    refsP.unpersist(false)
     spark.sparkContext.clearCallSite()
+    val autoEdges =
+      if (dupFut2 == null) Array.empty[RefEdge]
+      else scala.concurrent.Await.result(dupFut2,
+        scala.concurrent.duration.Duration.Inf)
     if (authoredEdges.length >= edgeCap || autoEdges.length >= edgeCap) {
       // too many alias edges for the driver: fully distributed fanout.
       // Recomputes the dup scan as a Dataset (g0 is cached), drops the
@@ -2325,6 +2390,10 @@ object SpatialJoin {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val flags = refine(spark, candidates(spark, g, cfgCs, lvls), cfgCs)
       val fanned = fanoutDistributed(spark, flags, edgesDs, g, cfgCs)
+      // fanoutDistributed has materialized its own (checkpointed) closure
+      // tables by now; the expansion cache is dead — the r5 code leaked it
+      // on this branch (ADVICE r5)
+      if (expandedRefs != null) expandedRefs.unpersist(false)
       return aggregate(spark, fanned, cfgCs, hadRefs = true,
         mayHaveBigMultis = bigMultis)
     }
