@@ -15,9 +15,19 @@ object Tables {
     * is added; predicates and column pruning push through the repartition
     * either way.
     */
+  /** Memoized spread decision per (path, parallelism): resolving the scan
+    * partition count costs a full physical-planning pass (`df.rdd`), and
+    * query builders call this several times per query. The decision is a
+    * performance heuristic only (results are identical either way), and
+    * the driver's inputs are immutable for the life of a session. */
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Boolean]()
+
   def parquet(s: SparkSession, path: String): DataFrame = {
     val df = s.read.parquet(path)
     val want = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+    val spread = spreadMemo.computeIfAbsent((path, want),
+      _ => df.rdd.getNumPartitions * 2 < want)
+    if (spread) df.repartition(want) else df
   }
 }

@@ -88,15 +88,57 @@ object ConnectedComponents {
     * round to a RELIABLE Dataset.checkpoint: executor loss then recomputes
     * from the checkpoint files instead of failing. Same results either way
     * (CcSpec runs both). */
+  /** Canonical-edge cap for the driver union-find fast path: below this
+    * many distinct edges the whole contraction loop (5-8 jobs per round)
+    * collapses into one bounded take + an O(E α(E)) driver union-find —
+    * the same boundedness pattern as the engine's maxDriverEdges alias
+    * closure (~8 MB of longs at the cap). Larger graphs — and ALL runs
+    * with a reliable checkpointDir, whose fault-tolerance contract is the
+    * distributed loop — take the star-contraction path unchanged. */
+  final val DRIVER_MAX_EDGES = 1 << 19
+
   def run(edges0: DataFrame, maxRounds: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverMaxEdges: Int = DRIVER_MAX_EDGES): DataFrame = {
     checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
     val c = edges0.columns
-    var edges = cp(canon(edges0.select(
-        col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b"))))
+    val canonEdges = canon(edges0.select(
+      col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b")))
+    if (checkpointDir.isEmpty) {
+      // bounded probe: one extra row is the overflow sentinel that sends
+      // oversized graphs to the distributed loop below
+      val spark = edges0.sparkSession
+      import spark.implicits._
+      val cap = math.min(Int.MaxValue.toLong, driverMaxEdges.toLong + 1).toInt
+      val es = canonEdges.as[(Long, Long)].take(cap)
+      if (es.length <= driverMaxEdges) {
+        // union-find, roots ordered by id (attach max root under min), so
+        // every root IS its component's minimum — the star-contraction
+        // fixpoint's exact labeling
+        val parent = new java.util.HashMap[Long, Long](es.length * 2)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var w = x
+          while (parent.getOrDefault(w, w) != w) {
+            val n = parent.get(w); parent.put(w, r); w = n
+          }
+          r
+        }
+        es.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        return spark.createDataset(
+          nodes.toSeq.map(n => (n, find(n)))).toDF("node", "canon")
+      }
+    }
+    var edges = cp(canonEdges)
     var (cnt, hash) = checksum(edges)
     var round = 0
     var converged = cnt == 0L

@@ -69,6 +69,20 @@ class CcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runCc(edges) == unionFind(edges))
   }
 
+  test("driver fast path == distributed star contraction (r6)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq.fill(500)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)) ++
+      (900L until 940L).map(i => (i, i + 1))).filter(e => e._1 != e._2)
+    def get(maxDriver: Int): Map[Long, Long] =
+      ConnectedComponents.run(edges.toDF("a", "b"), driverMaxEdges = maxDriver)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driverMaxEdges=0 forces the distributed loop on the same input
+    assert(get(ConnectedComponents.DRIVER_MAX_EDGES) == get(0))
+    assert(get(ConnectedComponents.DRIVER_MAX_EDGES) == unionFind(edges))
+  }
+
   test("reliable-checkpoint option == localCheckpoint path") {
     val s = spark
     import s.implicits._
