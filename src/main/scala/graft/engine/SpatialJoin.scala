@@ -740,6 +740,30 @@ object SpatialJoin {
       .as(org.apache.spark.sql.Encoders.product[RefEdge])
   }
 
+  /** Driver-side twin of [[expandAuthoredRefs]] for edge sets within the
+    * driver cap: same join-by-target-sub, same (subId, targetSub) slot
+    * ordering and renumbering, computed over the collected edges and a
+    * bounded target -> sub-ids map instead of a distinct + semi-join +
+    * two-window DataFrame pass per run. Output multiset is identical
+    * (ties in the window order produce identical rows either way). */
+  private[engine] def expandAuthoredRefsDriver(edges: Array[RefEdge],
+      tgtSubs: Map[String, Seq[Int]]): Array[RefEdge] = {
+    edges.groupBy(e => (e.referer, e.side)).iterator.flatMap {
+      case (_, es) =>
+        val items = es.flatMap { e =>
+          tgtSubs.get(e.target) match {
+            case Some(subs) if subs.nonEmpty => subs.map(ts => (e, ts))
+            case _ => Seq((e, e.targetSub))
+          }
+        }.sortBy { case (e, ts) => (e.subId, ts) }
+        val total = items.length
+        items.iterator.zipWithIndex.map { case ((e, ts), i) =>
+          RefEdge(e.referer, e.side, e.target,
+            if (total > 1) i + 1 else 0, total, ts)
+        }
+    }.toArray
+  }
+
   def fanout(spark: SparkSession, flags: DataFrame,
       edges: Array[RefEdge], geoms: Dataset[SubGeom],
       cfg: SpatialConfig): DataFrame = {
@@ -984,6 +1008,17 @@ object SpatialJoin {
     // aggregate's whole input lineage once per branch, so the exact
     // refinement + fanout were recomputed twice per query (guide §2.4 /
     // §7.2 — two identical `Scan ExistingRDD` subtrees in the r5 plan).
+    //
+    // No final distinct() in any branch (r6; it was a full exchange +
+    // aggregation over the OUTPUT, the largest table of the job at scale):
+    // every output row is a function of exactly one (gidA, gidB) group —
+    // fanoutWith canonicalizes fanned fragments to gidA <= gidB in self
+    // mode (and the side discipline fixes orientation otherwise), the
+    // groupBy leaves one row per group, and each group's forward/reverse
+    // emissions differ in their (a_id, b_id) orientation — so the
+    // relation rows are duplicate-free by construction. Pinned by the
+    // full-suite fixture assertions and the exact-row-count hash oracles
+    // (a duplicate would inflate sp_rect_refs/rdist/mdist counts).
     if (cfg.mode == "distance") {
       val agg = pairFlags.groupBy(col("gidA"), col("gidB"))
         .agg(min(col("dist")).as("dist"))
@@ -997,7 +1032,7 @@ object SpatialJoin {
             .select(col("r.a_id"), col("r.dist"), col("r.b_id"))
         else agg.select(col("gidA").as("a_id"), col("dist"),
           col("gidB").as("b_id"))
-      return rels.distinct()
+      return rels
     }
 
     if (cfg.mode == "de9im") {
@@ -1030,7 +1065,7 @@ object SpatialJoin {
             .select(col("r.a_id"), col("r.de9im"), col("r.b_id"))
         else merged.select(col("gidA").as("a_id"), col("mat").as("de9im"),
           col("gidB").as("b_id"))
-      return rels.distinct()
+      return rels
     }
 
     // ---------------------------------------------------------- predicates
@@ -1099,7 +1134,8 @@ object SpatialJoin {
         fast.union(slow)
       }
 
-    relsFrom(marked, cfg, dedup = hadRefs)
+    // dedup = false even with refs: see the duplicate-free argument above
+    relsFrom(marked, cfg, dedup = false)
   }
 
   /** Verdict columns over an agg1-shaped row (counts from mask popcounts). */
@@ -2352,15 +2388,47 @@ object SpatialJoin {
     // refs lineage re-ran the full input parse per scan (guide §1.2 —
     // three parse passes measured per refs query at sf0.1)
     val refsP = refs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One bounded take decides everything: empty -> no refs work at all;
+    // over the driver cap -> the distributed expansion (DataFrame
+    // expandAuthoredRefs, as before); otherwise the expansion runs ON THE
+    // DRIVER over the collected edges. Driver expansion needs only the
+    // target ids' real sub lists (bounded: |targets| x <=255 subs), and
+    // replaces the r5 per-query distinct + semi-join + two-window pass
+    // (~1.5-2 s of fixed stage latency at sf0.1) with one semi-join
+    // collect. Expansion is skipped as the exact identity when no
+    // geometry has more than one part (max(nSubs) <= 1 from the stats
+    // pass): every existing target joins its single sub row and the slot
+    // renumbering reproduces the parse numbering, while dangling targets
+    // keep their parsed edge either way.
+    val allSingleSubs = st.isNullAt(2) || st.getInt(2) <= 1
+    val refsHead = refsP.take(edgeCap)
+    val overCap = refsHead.length >= edgeCap
     val expandedRefs: Dataset[RefEdge] =
-      if (refsP.isEmpty) null
-      else expandAuthoredRefs(spark, refsP, g0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val authoredEdges =
-      if (expandedRefs == null) Array.empty[RefEdge]
-      else expandedRefs.take(edgeCap)
-    refsP.unpersist(false)
+      if (overCap)
+        expandAuthoredRefs(spark, refsP, g0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else null
+    val authoredEdges: Array[RefEdge] =
+      if (refsHead.isEmpty) Array.empty[RefEdge]
+      else if (overCap) refsHead // sentinel: length >= edgeCap reroutes below
+      else if (allSingleSubs) refsHead
+      else {
+        // target -> real sub ids, via one bounded semi-join collect
+        val tgtDf = spark.createDataset(
+          refsHead.map(_.target).distinct.toSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("t_gid")
+        val tgtSubs = g0.toDF()
+          .join(broadcast(tgtDf), col("gid") === col("t_gid"), "left_semi")
+          .select(col("gid"), col("subId")).distinct()
+          .collect().groupBy(_.getString(0))
+          .map { case (g, rs) => g -> rs.map(_.getInt(1)).toSeq.sorted }
+        expandAuthoredRefsDriver(refsHead, tgtSubs)
+      }
     spark.sparkContext.clearCallSite()
+    def releaseRefCaches(): Unit = {
+      if (expandedRefs != null) expandedRefs.unpersist(false)
+      refsP.unpersist(false)
+    }
     val autoEdges =
       if (dupFut2 == null) Array.empty[RefEdge]
       else scala.concurrent.Await.result(dupFut2,
@@ -2391,16 +2459,16 @@ object SpatialJoin {
       val flags = refine(spark, candidates(spark, g, cfgCs, lvls), cfgCs)
       val fanned = fanoutDistributed(spark, flags, edgesDs, g, cfgCs)
       // fanoutDistributed has materialized its own (checkpointed) closure
-      // tables by now; the expansion cache is dead — the r5 code leaked it
-      // on this branch (ADVICE r5)
-      if (expandedRefs != null) expandedRefs.unpersist(false)
+      // tables by now; the expansion caches are dead — the r5 code leaked
+      // the expansion on this branch (ADVICE r5)
+      releaseRefCaches()
       return aggregate(spark, fanned, cfgCs, hadRefs = true,
         mayHaveBigMultis = bigMultis)
     }
     val edges = authoredEdges ++ autoEdges
     // the driver array is materialized; the cached expansion served its
     // purpose on this (non-distributed) path
-    if (expandedRefs != null) expandedRefs.unpersist(false)
+    releaseRefCaches()
     lastNumReferences = edges.length.toLong
     // drop duplicate sub-geometries from the join input: their relations
     // come from the keeper via fanout
