@@ -45,6 +45,30 @@ object SpatialIndex {
 
   private val VERSION = 1L
 
+  // ---- one-row meta I/O through the Hadoop FS API (any cluster FS) ----
+  // The r5 writer/reader went through Spark json jobs: one write job +
+  // commit, plus schema-inference and read jobs per open — three driver
+  // round-trips per index query for a single row of metadata.
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeString(spark: SparkSession, path: String,
+      content: String): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(spark: SparkSession, path: String): String = {
+    val (fs, p) = fsFor(spark, path)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Preprocess `geoms` (+ authored alias edges) under `cfg` and persist
     * the index at `path`. Returns the written descriptor. */
   def write(spark: SparkSession, geoms: Dataset[SubGeom],
@@ -53,14 +77,21 @@ object SpatialIndex {
     val cached = geoms.storageLevel != StorageLevel.NONE
     val g0 = if (cached) geoms else geoms.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val (cfgCs, lvls, bigMultis) = SpatialJoin.coverSpec(g0, cfg)
-      val st = g0.toDF().agg(
-        max(col("nSubs")), max(col("side")), count(lit(1)),
-        max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0))).head()
-      val allSingle = st.isNullAt(0) || st.getInt(0) <= 1
-      val hasSides = !st.isNullAt(1) && st.getInt(1) > 0
-      val nRows = if (st.isNullAt(2)) 0L else st.getLong(2)
-      val maxCoordLen = if (st.isNullAt(3)) 0 else st.getInt(3)
+      // ONE stats pass (r6; formerly coverSpec + a second agg + an
+      // ungated dup-scan probe = 3-4 jobs): cell size, levels, part/side
+      // extrema and the P9 gate all come from SpatialJoin.inputStats, and
+      // the dup-scan probe only runs when the gate says a duplicate can
+      // exist — the same planning shape as SpatialJoin.run.
+      val st = SpatialJoin.inputStats(g0, cfg)
+      val cs = if (cfg.cellSize > 0) cfg.cellSize
+        else SpatialJoin.cellSizeFor(st.meanExt, cfg.withinDist >= 0)
+      val cfgCs = cfg.copy(cellSize = cs)
+      val lvls = st.levelsFor(cs)
+      val bigMultis = st.bigMultis
+      val allSingle = st.allSingle
+      val hasSides = st.hasSides
+      val nRows = math.max(0L, st.nRows)
+      val maxCoordLen = st.maxCoordLen
       val hasDups = cfg.dupMinPoints >= 0 && maxCoordLen > 0 &&
         maxCoordLen >= cfg.dupMinPoints * 2 &&
         !SpatialJoin.dupEdges(spark, g0, cfgCs).isEmpty
@@ -78,17 +109,26 @@ object SpatialIndex {
       }
       val meta = IndexMeta(VERSION, cfgCs.cellSize, lvls.map(_.toLong),
         cfg.mode, cfg.withinDist, eligible, allSingle, hasSides, nRows)
-      Seq(meta).toDS().coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      val node = jackson.createObjectNode()
+      node.put("version", meta.version).put("cellSize", meta.cellSize)
+      val la = node.putArray("levels")
+      meta.levels.foreach(la.add)
+      node.put("mode", meta.mode).put("withinDist", meta.withinDist)
+        .put("eligible", meta.eligible).put("allSingle", meta.allSingle)
+        .put("hasSides", meta.hasSides).put("nRows", meta.nRows)
+      writeString(spark, s"$path/meta/meta.json", node.toString)
       meta
     } finally if (!cached) g0.unpersist()
   }
 
   def readMeta(spark: SparkSession, path: String): IndexMeta = {
-    import spark.implicits._
-    val m = spark.read.json(s"$path/meta")
-      .select(col("version"), col("cellSize"), col("levels"), col("mode"),
-        col("withinDist").cast("double"), col("eligible"), col("allSingle"),
-        col("hasSides"), col("nRows")).as[IndexMeta].head()
+    val n = jackson.readTree(readString(spark, s"$path/meta/meta.json"))
+    val lvls = (0 until n.get("levels").size())
+      .map(i => n.get("levels").get(i).asLong())
+    val m = IndexMeta(n.get("version").asLong(), n.get("cellSize").asLong(),
+      lvls, n.get("mode").asText(), n.get("withinDist").asDouble(),
+      n.get("eligible").asBoolean(), n.get("allSingle").asBoolean(),
+      n.get("hasSides").asBoolean(), n.get("nRows").asLong())
     require(m.version == VERSION, s"index version ${m.version}, want $VERSION")
     m
   }
@@ -241,22 +281,24 @@ object SpatialIndex {
     * BUCKETED by cell and the join needs no shuffle at all. */
   def writePipScreen(spark: SparkSession, indexPath: String,
       out: String): Unit = {
-    import spark.implicits._
     val sc = pipScreen(spark, indexPath)
     sc.native.repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$out/native")
-    Seq((VERSION, sc.cellSize, sc.levels.map(_.toLong))).toDF(
-        "version", "cellSize", "levels")
-      .coalesce(1).write.mode("overwrite").json(s"$out/meta")
+    val node = jackson.createObjectNode()
+    node.put("version", VERSION).put("cellSize", sc.cellSize)
+    val la = node.putArray("levels")
+    sc.levels.foreach(l => la.add(l.toLong))
+    writeString(spark, s"$out/meta/meta.json", node.toString)
   }
 
   def readPipScreen(spark: SparkSession, out: String): PipScreen = {
-    val m = spark.read.json(s"$out/meta")
-      .select(col("version"), col("cellSize"), col("levels")).head()
-    require(m.getLong(0) == VERSION,
-      s"pip screen version ${m.getLong(0)}, want $VERSION")
+    val n = jackson.readTree(readString(spark, s"$out/meta/meta.json"))
+    require(n.get("version").asLong() == VERSION,
+      s"pip screen version ${n.get("version").asLong()}, want $VERSION")
     PipScreen(spark.read.parquet(s"$out/native"),
-      m.getLong(1), m.getSeq[Long](2).map(_.toInt))
+      n.get("cellSize").asLong(),
+      (0 until n.get("levels").size()).map(i =>
+        n.get("levels").get(i).asInt()))
   }
 
   private def requireCompatible(meta: IndexMeta, cfg: SpatialConfig)

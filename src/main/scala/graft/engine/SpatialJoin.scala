@@ -412,6 +412,55 @@ object SpatialJoin {
     col(s"$alias.minY").as("minY"), col(s"$alias.maxX").as("maxX"),
     col(s"$alias.maxY").as("maxY"))
 
+  /** Everything the planner needs from ONE aggregation pass over the
+    * (padded) input: extent stats, part/side/coord extrema, row count,
+    * and per-log2-bucket extent extrema from which the attained level
+    * set is derivable for ANY cell size (levelFor is monotone in the
+    * extent and level thresholds are 8x apart, so a <=2x-wide bucket
+    * spans at most one threshold). */
+  private[engine] final case class InputStats(
+      meanExt: Double, maxExt: Long, bigMultis: Boolean, allSingle: Boolean,
+      maxCoordLen: Int, hasSides: Boolean, nRows: Long,
+      lvlBuckets: Seq[(Long, Long)]) {
+    def levelsFor(cs: Long): Seq[Int] =
+      if (levelFor(maxExt, cs) == 0) Seq(0)
+      else lvlBuckets.flatMap { case (mn, mx) =>
+        Seq(levelFor(mn, cs), levelFor(mx, cs))
+      }.distinct.sorted
+  }
+
+  private[engine] def inputStats(geoms: Dataset[SubGeom],
+      cfg: SpatialConfig): InputStats = {
+    val LVL_BUCKETS = 34 // padded extents fit in 33 bits
+    val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
+    val extL = ext.cast("long")
+    val bucket = coalesce(
+      floor(log2(greatest(extL, lit(1L)))).cast("int"), lit(0))
+    val bucketCols = (0 until LVL_BUCKETS).flatMap { k =>
+      Seq(min(when(bucket === k, extL)).as(s"mn$k"),
+        max(when(bucket === k, extL)).as(s"mx$k"))
+    }
+    val baseAggs = Seq(
+      max(ext.cast("long")), max(col("nSubs")),
+      max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0)),
+      max(col("side")), count(lit(1)))
+    val st = padDf(geoms.toDF(), cfg).agg(
+      avg(ext.cast("double")), baseAggs ++ bucketCols: _*).head()
+    InputStats(
+      meanExt = if (st.isNullAt(0)) 0.0 else st.getDouble(0),
+      maxExt = if (st.isNullAt(1)) 0L else st.getLong(1),
+      bigMultis = !st.isNullAt(2) && st.getInt(2) > 63,
+      allSingle = st.isNullAt(2) || st.getInt(2) <= 1,
+      maxCoordLen = if (st.isNullAt(3)) 0 else st.getInt(3),
+      hasSides = !st.isNullAt(4) && st.getInt(4) > 0,
+      nRows = if (st.isNullAt(5)) -1L else st.getLong(5),
+      lvlBuckets = (0 until LVL_BUCKETS).flatMap { k =>
+        val mnIdx = 6 + 2 * k
+        if (st.isNullAt(mnIdx)) Nil
+        else Seq((st.getLong(mnIdx), st.getLong(mnIdx + 1)))
+      })
+  }
+
   /** One pass of cover statistics over the (typically cached) geometries:
     * resolved cell size, the set of ACTIVE native levels, and whether any
     * geometry has >63 parts. A second tiny agg runs only when some
@@ -2315,47 +2364,26 @@ object SpatialJoin {
     }
     val dupFut: scala.concurrent.Future[Array[RefEdge]] =
       if (cfg.dupMinPoints >= 0 && preCached) dupScanAsync(cfg) else null
-    val LVL_BUCKETS = 34 // padded extents fit in 33 bits
-    val ext = greatest(col("maxX") - col("minX"), col("maxY") - col("minY"))
-    val extL = ext.cast("long")
-    val bucket = coalesce(
-      floor(log2(greatest(extL, lit(1L)))).cast("int"), lit(0))
-    val bucketCols = (0 until LVL_BUCKETS).flatMap { k =>
-      Seq(min(when(bucket === k, extL)).as(s"mn$k"),
-        max(when(bucket === k, extL)).as(s"mx$k"))
-    }
-    val baseAggs = Seq(
-      max(ext.cast("long")), max(col("nSubs")),
-      max(when(col("kind") =!= 0, size(col("coords"))).otherwise(0)),
-      max(col("side")), count(lit(1)))
     spark.sparkContext.setCallSite("graft.stats")
-    val st = padDf(g0.toDF(), cfg).agg(
-      avg(ext.cast("double")), baseAggs ++ bucketCols: _*).head()
+    val st = inputStats(g0, cfg)
     spark.sparkContext.clearCallSite()
-    val meanExt = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
-    val maxExt = if (st.isNullAt(1)) 0L else st.getLong(1)
-    val bigMultis = !st.isNullAt(2) && st.getInt(2) > 63
-    val maxCoordLen = if (st.isNullAt(3)) 0 else st.getInt(3)
+    val meanExt = st.meanExt
+    val maxExt = st.maxExt
+    val bigMultis = st.bigMultis
+    val maxCoordLen = st.maxCoordLen
     // "if sides are defined, only geometries from different sides are
     // compared" (reference README.md:118): sides in the input activate the
     // non-self discipline regardless of the configured default
-    val hasSides = !st.isNullAt(4) && st.getInt(4) > 0
-    val nRows = if (st.isNullAt(5)) -1L else st.getLong(5)
+    val hasSides = st.hasSides
+    val nRows = st.nRows
     val cs = if (cfg.cellSize > 0) cfg.cellSize
       else cellSizeFor(meanExt, distMode = cfg.withinDist >= 0)
     val cfgCs = cfg.copy(cellSize = cs,
       selfJoin = cfg.selfJoin && !hasSides)
-    // active levels from the single stats pass (see bucketCols above).
+    // active levels from the single stats pass (see inputStats).
     // P9 removes only exact copies, whose extents equal their keeper's, so
     // the pre-dedup extrema yield the identical level set.
-    val lvls =
-      if (levelFor(maxExt, cs) == 0) Seq(0)
-      else (0 until LVL_BUCKETS).flatMap { k =>
-        val mnIdx = 6 + 2 * k
-        if (st.isNullAt(mnIdx)) Nil
-        else Seq(levelFor(st.getLong(mnIdx), cs),
-          levelFor(st.getLong(mnIdx + 1), cs))
-      }.distinct.sorted
+    val lvls = st.levelsFor(cs)
 
     // duplicate -> reference rewrite (P9); the edge set is collected to the
     // driver and joined into the authored-alias closure. BOUND: duplicate
@@ -2400,7 +2428,7 @@ object SpatialJoin {
     // pass): every existing target joins its single sub row and the slot
     // renumbering reproduces the parse numbering, while dangling targets
     // keep their parsed edge either way.
-    val allSingleSubs = st.isNullAt(2) || st.getInt(2) <= 1
+    val allSingleSubs = st.allSingle
     val refsHead = refsP.take(edgeCap)
     val overCap = refsHead.length >= edgeCap
     val expandedRefs: Dataset[RefEdge] =
@@ -2484,7 +2512,7 @@ object SpatialJoin {
       // proves the input is entirely single-sub, every pair completes
       // inside the kernel (one processPair globally per pair), so the
       // kernel emits FINAL relation rows and no merge shuffle exists
-      val allSingle = st.isNullAt(2) || st.getInt(2) <= 1
+      val allSingle = st.allSingle
       return if (allSingle)
         fusedPairs(spark, g, cfgCs, lvls, direct = true, rowHint = nRows)
       else aggregateFromPre(spark,

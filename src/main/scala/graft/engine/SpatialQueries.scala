@@ -103,18 +103,13 @@ object SpatialQueries {
     val name = "example_id.txt"
     val pages = Pages.fromFixtureLines(s, name, fixtureLines(name))
     val (geoms, refs) = Pages.extract(s, pages)
-    // unique scratch dir + materialize-then-delete, like spRectIndex
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_index_example_").toAbsolutePath.toString
+    // unique scratch dir (session-local scratch volume) +
+    // materialize-then-delete, like spRectIndex
+    val path = graft.Scratch.dir(s, "graft_index_example_")
     try {
       SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
       SpatialIndex.selfJoin(s, path, SpatialConfig()).localCheckpoint(true)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(path))
-    }
+    } finally graft.Scratch.rm(path)
   }
 
   /** The `st_*` SQL-function surface driven end-to-end: WKT point
@@ -818,20 +813,14 @@ object SpatialQueries {
     // tmpdir path let two concurrent harness runs overwrite each other's
     // index between write and selfJoin); the join is MATERIALIZED before
     // the dir is deleted, so the returned frame never re-reads it
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_index_rect_").toAbsolutePath.toString
+    val path = graft.Scratch.dir(s, "graft_index_rect_")
     try {
       SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
       SpatialIndex.selfJoin(s, path, SpatialConfig())
         .select(col("a_id").cast("long").as("a_gid"),
           col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
         .localCheckpoint(true)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(path))
-    }
+    } finally graft.Scratch.rm(path)
   }
 
   /** The streaming geo-enrichment path under the hash oracle (batch face
@@ -863,8 +852,7 @@ object SpatialQueries {
       cs(col("lon1")), lit(" "), cs(col("lat1")), lit("))")).as("line"))
       .as[String]
     val (geoms, refs) = Model.parseLines(s, lines)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_pip_screen_").toAbsolutePath.toString
+    val path = graft.Scratch.dir(s, "graft_pip_screen_")
     try {
       SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
       val screen = SpatialIndex.pipScreen(s, path)
@@ -872,12 +860,7 @@ object SpatialQueries {
           pts(s, dir).withColumnRenamed("gid", "pt_gid"), screen)
         .select(col("pt_gid"), col("gid").cast("long").as("rect_gid"))
         .localCheckpoint(true)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val xs = f.listFiles(); if (xs != null) xs.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(path))
-    }
+    } finally graft.Scratch.rm(path)
   }
 
   private val sqlPipScreen: String = {

@@ -383,8 +383,7 @@ object TextSim {
     * path under the driver's hash gate exactly as sp_rect_index gates
     * the spatial index (r5). */
   def nearDupIndexedBatch(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_corpus_screen_").toAbsolutePath.toString
+    val out = graft.Scratch.dir(s, "graft_corpus_screen_")
     try {
       writeCorpusScreen(s, dir, out)
       nearDupScreen(s,
@@ -393,12 +392,7 @@ object TextSim {
             lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
         readCorpusScreen(s, out))
         .localCheckpoint(true)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val xs = f.listFiles(); if (xs != null) xs.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(out))
-    }
+    } finally graft.Scratch.rm(out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
