@@ -54,6 +54,9 @@ object QProbe {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"[qprobe] $q rows=$n sec=${(System.nanoTime()-t0)/1e9}%.2f")
+      // match Bench's sweep hygiene: drop per-query persisted tables so a
+      // rep never reads a cache its bench twin would not have
+      spark.catalog.clearCache()
       // drain the async listener bus before resetting / reading the
       // counters so run-1 events never bleed into run-2's figures
       org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
@@ -63,6 +66,7 @@ object QProbe {
       org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
       println(f"[qprobe] $q(2nd) rows=$n2 sec=${(System.nanoTime()-t1)/1e9}%.2f" +
         f" jobs=${jobs.get} jobWall=${jobWall.get / 1e3}%.2f")
+      spark.catalog.clearCache()
       import graft.engine.SpatialJoin
       if (SpatialJoin.lastPairTests != null)
         println(s"[qprobe] $q kernel: pairTests=${SpatialJoin.lastPairTests.value}" +

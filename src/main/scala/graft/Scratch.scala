@@ -27,4 +27,21 @@ object Scratch {
     }
     rec(new java.io.File(path))
   }
+
+  /** Defer deletion to JVM exit. The write-once-then-read query gates
+    * return DataFrames whose lineage READS the scratch index; deleting it
+    * eagerly forced an extra materialization (localCheckpoint) of the
+    * whole join result inside the query builder — serializing and
+    * re-reading millions of rows per run (guide §5: cache only what is
+    * reused). Keeping the few-MB scratch dir until exit lets the caller's
+    * one real action be the only execution. Paths are per-invocation temp
+    * dirs, so nothing is ever shared or reused across runs. */
+  private lazy val exitPaths = {
+    val ps = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ps.forEach(p => rm(p))))
+    ps
+  }
+
+  def rmOnExit(path: String): Unit = exitPaths.add(path)
 }

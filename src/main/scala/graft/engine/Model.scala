@@ -64,11 +64,25 @@ object Model {
       idOffset: Long = 0L, defaultSide: Int = 0)
       : (Dataset[SubGeom], Dataset[RefEdge]) = {
     import spark.implicits._
-    val rows = lines.rdd.zipWithIndex().flatMap { case (l, i) =>
+    val indexed = lines.rdd.zipWithIndex()
+    val rows = indexed.flatMap { case (l, i) =>
       Wkt.parseLine(l, i + 1 + idOffset, defaultSide)
     }
     val geoms = spark.createDataset(rows.flatMap(subGeomsOf))
-    val refs = spark.createDataset(rows.flatMap(refEdgesOf))
+    // Ref edges come ONLY from `<...>` payload lines (Wkt.parseLine:57 —
+    // a WKT payload never contains '<'), and the geoms/refs Datasets are
+    // materialized by separate consumers: deriving refs from `rows` made
+    // every refs materialization re-run the FULL WKT parse of every
+    // geometry line a second time (guide §1.2 — one of the three measured
+    // parse passes per spatial query). The refs side now pre-filters to
+    // '<'-bearing lines, so its pass is a string scan plus the (cheap) ref
+    // parse; non-matching lines can't contribute edges, and matching lines
+    // go through the identical parseLine, so the edge multiset is
+    // unchanged for any input.
+    val refRows = indexed.filter(_._1.indexOf('<') >= 0).flatMap { case (l, i) =>
+      Wkt.parseLine(l, i + 1 + idOffset, defaultSide)
+    }
+    val refs = spark.createDataset(refRows.flatMap(refEdgesOf))
     (geoms, refs)
   }
 }

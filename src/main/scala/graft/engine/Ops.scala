@@ -87,6 +87,9 @@ object Knn {
     // cluster with executor churn, set a checkpoint dir and swap in
     // Dataset.checkpoint).
     var unresolved = cp(queries0)
+    // |unresolved| per round: cheap (the carried state is checkpointed) and
+    // it sizes the ring-disk broadcast decision below
+    var uCount = unresolved.count()
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1L
     var done = false
@@ -94,12 +97,22 @@ object Knn {
       // disk of (2r+1)^2 cells covers everything once (2r+1)*s spans the
       // data extent -> final round resolves unconditionally
       val wholeWorld = (2 * r + 1) * s >= math.max(w, h)
-      val cand = unresolved
+      val disk = unresolved
         .withColumn("ox", explode(sequence(lit(-r), lit(r))))
         .withColumn("oy", explode(sequence(lit(-r), lit(r))))
         .withColumn("cx", col("qcx") + col("ox"))
         .withColumn("cy", col("qcy") + col("oy"))
-        .join(cells, Seq("cx", "cy"))
+      // guide §3.1/§2.4: the query-cell disk is tiny (queries x (2r+1)^2
+      // rows) while `cells` is the full point table — a sort-merge join
+      // here shuffles EVERY point EVERY round. Broadcasting the disk makes
+      // the big side flow with no Exchange at all (the only remaining
+      // shuffle is the q_gid window over the candidates). The explicit
+      // row-count guard (not a byte estimate) falls back to the shuffle
+      // join if a straggler query ever inflates the disk past ~2M rows.
+      val diskRows = uCount * (2 * r + 1) * (2 * r + 1)
+      val cand = (if (diskRows <= 2000000L) cells.join(broadcast(disk),
+          Seq("cx", "cy"))
+        else disk.join(cells, Seq("cx", "cy")))
         .filter(col("gid") =!= col("q_gid"))
         .select(col("q_gid"), col("gid"),
           ((col("x") - col("qx")) * (col("x") - col("qx")) +
@@ -121,7 +134,8 @@ object Knn {
       else {
         val next = cp(unresolved
           .join(resolvedKeys, col("q_gid") === col("kq"), "left_anti"))
-        done = next.isEmpty
+        uCount = next.count()
+        done = uCount == 0L
         unresolved = next
       }
       ranked.unpersist(false)

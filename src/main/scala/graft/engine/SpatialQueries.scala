@@ -103,13 +103,17 @@ object SpatialQueries {
     val name = "example_id.txt"
     val pages = Pages.fromFixtureLines(s, name, fixtureLines(name))
     val (geoms, refs) = Pages.extract(s, pages)
-    // unique scratch dir (session-local scratch volume) +
-    // materialize-then-delete, like spRectIndex
+    // unique scratch dir (session-local scratch volume); deleted at JVM
+    // exit, NOT eagerly — the returned frame's lineage reads the index, so
+    // the caller's action is the only execution (the r5 shape paid an
+    // extra localCheckpoint materialization per run; guide §5)
     val path = graft.Scratch.dir(s, "graft_index_example_")
     try {
       SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
-      SpatialIndex.selfJoin(s, path, SpatialConfig()).localCheckpoint(true)
-    } finally graft.Scratch.rm(path)
+      val out = SpatialIndex.selfJoin(s, path, SpatialConfig())
+      graft.Scratch.rmOnExit(path)
+      out
+    } catch { case e: Throwable => graft.Scratch.rm(path); throw e }
   }
 
   /** The `st_*` SQL-function surface driven end-to-end: WKT point
@@ -811,16 +815,19 @@ object SpatialQueries {
     val (geoms, refs) = rectGeoms(s, dir, rectDx1, rectDy1, rectDx2, rectDy2)
     // unique scratch dir per invocation (ADVICE r4: the former fixed
     // tmpdir path let two concurrent harness runs overwrite each other's
-    // index between write and selfJoin); the join is MATERIALIZED before
-    // the dir is deleted, so the returned frame never re-reads it
+    // index between write and selfJoin); deleted at JVM exit instead of
+    // eagerly — the r5 materialize-then-delete localCheckpoint serialized
+    // and re-read the full 2M-row join result inside the builder, ~1 s of
+    // pure store/load per run at sf0.1 (guide §5)
     val path = graft.Scratch.dir(s, "graft_index_rect_")
     try {
       SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
-      SpatialIndex.selfJoin(s, path, SpatialConfig())
+      val out = SpatialIndex.selfJoin(s, path, SpatialConfig())
         .select(col("a_id").cast("long").as("a_gid"),
           col("predicate").as("pred"), col("b_id").cast("long").as("b_gid"))
-        .localCheckpoint(true)
-    } finally graft.Scratch.rm(path)
+      graft.Scratch.rmOnExit(path)
+      out
+    } catch { case e: Throwable => graft.Scratch.rm(path); throw e }
   }
 
   /** The streaming geo-enrichment path under the hash oracle (batch face
@@ -856,11 +863,12 @@ object SpatialQueries {
     try {
       SpatialIndex.write(s, geoms, refs, SpatialConfig(), path)
       val screen = SpatialIndex.pipScreen(s, path)
-      graft.streaming.StreamOps.pointInPolygonIndexed(
+      val out = graft.streaming.StreamOps.pointInPolygonIndexed(
           pts(s, dir).withColumnRenamed("gid", "pt_gid"), screen)
         .select(col("pt_gid"), col("gid").cast("long").as("rect_gid"))
-        .localCheckpoint(true)
-    } finally graft.Scratch.rm(path)
+      graft.Scratch.rmOnExit(path)
+      out
+    } catch { case e: Throwable => graft.Scratch.rm(path); throw e }
   }
 
   private val sqlPipScreen: String = {

@@ -263,8 +263,17 @@ object TextSim {
   /** Candidate pairs from shared LSH buckets, verified with exact word
     * 3-gram jaccard; emits pairs with jaccard >= 0.5. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+    // guide §2.4/§7.2: as a broadcast join the bucket self-join computed
+    // the whole band pipeline (shingle explode + 12 min(md5)
+    // SortAggregates) once PER SIDE — a BroadcastExchange side never
+    // reuses the stream side's exchange. The merge hint puts both sides
+    // behind the SAME Exchange(hash(band, bv)), which Spark deduplicates
+    // (ReusedExchange), so the pipeline runs once; sorting the few
+    // band rows per side costs nothing at any scale. (An eager
+    // persist+count was measured slower: it serializes a barrier job
+    // where the duplicate subtrees previously overlapped on idle cores.)
     val bands = minhashBands(s, dir)
-    val cands = bands.alias("a").join(bands.alias("b"),
+    val cands = bands.alias("a").hint("merge").join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -351,11 +360,16 @@ object TextSim {
     * no common bucket are not reported); the DuckDB twin mirrors the same
     * candidate generation exactly. */
   def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: e feeds four consumers (the bitsFor count, the bucket
+    // table, and the a/b score joins), each of which re-ran the
+    // cast-to-double transform + norm aggregate over every embedding; the
+    // count() Ann.bitsFor needs anyway materializes the cache
     val e = graft.Tables.parquet(s, s"$dir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm",
         sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = Ann.bitsFor(e.count())
     val b = Ann.buckets(e, Ann.TABLES, bits)
     val cands = b.alias("x").join(b.alias("y"),
@@ -386,13 +400,17 @@ object TextSim {
     val out = graft.Scratch.dir(s, "graft_corpus_screen_")
     try {
       writeCorpusScreen(s, dir, out)
-      nearDupScreen(s,
+      val df = nearDupScreen(s,
         docs(s, dir).filter(col("doc_id") % 50 === 0)
           .withColumn("ts",
             lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
         readCorpusScreen(s, out))
-        .localCheckpoint(true)
-    } finally graft.Scratch.rm(out)
+      // scratch index deleted at JVM exit, not eagerly: the returned
+      // frame's lineage reads it, and the r5 localCheckpoint materialized
+      // the screen result a second time inside the builder (guide §5)
+      graft.Scratch.rmOnExit(out)
+      df
+    } catch { case e: Throwable => graft.Scratch.rm(out); throw e }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -180,18 +180,31 @@ object QueryPack {
     val d = 300L
     val cell = 300L
     val p = pts(s, dir)
-    // each point lands in 1 cell; probe side explodes to the 3x3 neighborhood
     val a = p.select(col("pid").as("a_pid"), col("x").as("ax"), col("y").as("ay"),
       floor(col("x") / cell).as("cx"), floor(col("y") / cell).as("cy"))
-    val off = Seq(-1L, 0L, 1L)
+    // HALF 3x3 neighborhood (guide §2.3 — shuffle/test fewer candidate
+    // rows): the r5 shape exploded the probe side into all 9 neighbor
+    // cells, so every unordered cross-cell pair was joined twice and the
+    // pid filter threw one copy away. The offset set {identity, E, NE, N,
+    // NW} is antisymmetric over the 8-neighborhood (exactly one of
+    // delta/-delta is in it), so each cross-cell pair is generated ONCE
+    // (in whichever orientation), and same-cell pairs keep the pid-order
+    // dedup. Output rows are canonicalized with least/greatest — dist2 is
+    // symmetric, so the row set is unchanged (same DuckDB twin).
+    val off = Seq((0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L), (-1L, 1L))
     val b = p.select(col("pid").as("b_pid"), col("x").as("bx"), col("y").as("by"))
-      .withColumn("cx", explode(array(off.map(o => floor(col("bx") / cell) + o): _*)))
-      .withColumn("cy", explode(array(off.map(o => floor(col("by") / cell) + o): _*)))
+      .withColumn("o", explode(array(off.map { case (ox, oy) =>
+        struct(lit(ox).as("ox"), lit(oy).as("oy")) }: _*)))
+      .withColumn("cx", floor(col("bx") / cell) + col("o.ox"))
+      .withColumn("cy", floor(col("by") / cell) + col("o.oy"))
+      .withColumn("same", col("o.ox") === 0 && col("o.oy") === 0)
+      .drop("o")
     a.join(b, Seq("cx", "cy"))
-      .filter(col("a_pid") < col("b_pid"))
+      .filter(!col("same") || col("a_pid") < col("b_pid"))
       .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
         (col("ay") - col("by")) * (col("ay") - col("by")) <= d * d)
-      .select(col("a_pid"), col("b_pid"),
+      .select(least(col("a_pid"), col("b_pid")).as("a_pid"),
+        greatest(col("a_pid"), col("b_pid")).as("b_pid"),
         ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist2"))
   }
