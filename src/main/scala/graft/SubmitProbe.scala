@@ -71,14 +71,20 @@ object SubmitProbe {
       val t0 = System.nanoTime()
       val rels = SpatialJoin
         .run(spark, geoms, spark.emptyDataset[RefEdge], SpatialConfig())
-      // one aggregation job computes the count AND the order-independent
+      // one aggregation job computes the count AND an order-independent
       // output fingerprint (xor of per-row xxhash64 over the canonical
-      // row string) — equal fp across topologies = byte-identical output
+      // row string). Equal fp + equal count across topologies is strong
+      // evidence of identical output, not proof: an xor fold cancels
+      // even-multiplicity differences and concat_ws skips NULL columns
+      // (ADVICE r5) — the hash-oracle parity gates are the real proof.
       val row = rels
         .select(xxhash64(concat_ws("|",
           rels.columns.toIndexedSeq.map(c => col(c).cast("string")): _*))
           .as("h"))
-        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
+        .agg(count(lit(1)).as("n"),
+          // coalesce: bit_xor over zero rows is NULL — the probe must
+          // print rels=0 fp=0 instead of throwing (ADVICE r5)
+          expr("coalesce(bit_xor(h), 0L)").as("fp"))
         .head()
       val (nRels, fp) = (row.getLong(0), row.getLong(1))
       val sec = (System.nanoTime() - t0) / 1e9

@@ -140,7 +140,12 @@ object Knn {
       }
       ranked.unpersist(false)
       resolvedKeys.unpersist(false)
-      r *= 2
+      // 4x radius growth: stragglers are the only queries left after
+      // round 1 (the grid is sized so the 3x3 disk resolves typical
+      // density), and each extra round costs ~4 driver-serial jobs —
+      // overshooting a straggler's disk is cheaper than an extra round
+      // (the disk stays a broadcast-sized candidate list either way).
+      r *= 4
     }
     cells.unpersist(false)
     parts.reduce(_.union(_))

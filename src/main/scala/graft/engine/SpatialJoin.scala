@@ -2364,6 +2364,22 @@ object SpatialJoin {
     }
     val dupFut: scala.concurrent.Future[Array[RefEdge]] =
       if (cfg.dupMinPoints >= 0 && preCached) dupScanAsync(cfg) else null
+    // refs head probe launched BEFORE the stats head and awaited after it:
+    // the two lineages are independent (the refs side is the cheap
+    // '<'-filtered line scan since r6, the stats side the geometry
+    // aggregate; a shared upstream shuffle is computed once by the DAG
+    // scheduler), so the probe's driver latency — a blocking take() that
+    // ran strictly after stats in r5 — overlaps the stats job. refsP has
+    // its own cache, so there is no first-action race with g0's.
+    val refsP = refs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refsHeadFut: scala.concurrent.Future[Array[RefEdge]] = {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Future {
+        spark.sparkContext.setCallSite("graft.refs")
+        try refsP.take(edgeCap)
+        finally spark.sparkContext.clearCallSite()
+      }
+    }
     spark.sparkContext.setCallSite("graft.stats")
     val st = inputStats(g0, cfg)
     spark.sparkContext.clearCallSite()
@@ -2411,11 +2427,9 @@ object SpatialJoin {
     // lineage instead of an extra job per run); when it does run, the
     // expanded Dataset is persisted and REUSED by the distributed-fanout
     // branch below instead of being recomputed from scratch.
-    // refs is persisted across the probe + expansion reads: the expansion
-    // scans it twice (target list + edge join) and isEmpty once, and the
-    // refs lineage re-ran the full input parse per scan (guide §1.2 —
-    // three parse passes measured per refs query at sf0.1)
-    val refsP = refs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // refs stays persisted across the probe + expansion reads: the
+    // expansion scans it twice (target list + edge join), and the refs
+    // lineage re-ran the input line scan per read (guide §1.2)
     // One bounded take decides everything: empty -> no refs work at all;
     // over the driver cap -> the distributed expansion (DataFrame
     // expandAuthoredRefs, as before); otherwise the expansion runs ON THE
@@ -2429,7 +2443,8 @@ object SpatialJoin {
     // renumbering reproduces the parse numbering, while dangling targets
     // keep their parsed edge either way.
     val allSingleSubs = st.allSingle
-    val refsHead = refsP.take(edgeCap)
+    val refsHead = scala.concurrent.Await.result(refsHeadFut,
+      scala.concurrent.duration.Duration.Inf)
     val overCap = refsHead.length >= edgeCap
     val expandedRefs: Dataset[RefEdge] =
       if (overCap)

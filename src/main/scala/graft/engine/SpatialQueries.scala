@@ -72,11 +72,19 @@ object SpatialQueries {
   def spDistJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = 100000.0 // 100 km
+    // pure column construction of the SubGeom rows (same values as the
+    // former typed .map): the object map forced a
+    // Deserialize/SerializeFromObject boundary around 1.5M rows, breaking
+    // whole-stage codegen and paying JVM object churn for a row shape
+    // expressible as plain expressions (guide §1.2 "per-task work")
+    val xi = col("x").cast("int"); val yi = col("y").cast("int")
     val geoms = pts(s, dir)
-      .select(col("gid").as("_1"), col("x").as("_2"), col("y").as("_3"))
-      .as[(Long, Int, Int)].map { case (gid, x, y) =>
-        SubGeom(gid.toString, 0, 0, 1, 0, Array(x, y), Array(1), x, y, x, y)
-      }
+      .select(col("gid").cast("string").as("gid"),
+        lit(0).as("side"), lit(0).as("subId"), lit(1).as("nSubs"),
+        lit(0).as("kind"), array(xi, yi).as("coords"),
+        array(lit(1)).as("ringEnds"),
+        xi.as("minX"), yi.as("minY"), xi.as("maxX"), yi.as("maxY"))
+      .as[SubGeom]
     val refs = s.emptyDataset[RefEdge]
     val rels = SpatialJoin.run(s, geoms, refs,
       SpatialConfig(mode = "distance", withinDist = d))

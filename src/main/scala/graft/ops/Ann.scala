@@ -399,7 +399,12 @@ object Ann {
     * query, exact cosine rank on the probed candidates. */
   def ivfTopK(s: SparkSession, dir: String, k: Int = 3,
       nprobe: Int = IVF_NPROBE): DataFrame = {
+    // persisted: e feeds five consumers (stride count, codebook collect,
+    // the assignment, and the two exact-cosine score joins), each of which
+    // re-ran the cast + norm over every embedding; the stride count
+    // materializes the cache
     val e = withNorm(emb(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stride = ivfStride(e.count())
     // bounded codebook (<= IVF_MAX_CELLS rows at any scale)
     val cents = e.filter(col("vec_id") % stride === 0)
@@ -420,7 +425,13 @@ object Ann {
     import org.apache.spark.sql.GraftInternal.{colOf, exprOf}
     def rankCol(r: IvfRank) = colOf(
       IvfRankExpr(exprOf(col("v")), exprOf(col("norm")), r))
-    val assigned = e.withColumn("cell", rankCol(ranker1).getItem(0))
+    // the nearest-centroid assignment is the expensive projection here
+    // (one full codebook scan per vector); it feeds both the probe side
+    // and the candidate join, which re-ran it end to end — cache the
+    // assignment, not just the embeddings
+    val assigned = e.select(col("vec_id"), col("v"), col("norm"),
+        rankCol(ranker1).getItem(0).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"),
         explode(rankCol(rankerN)).as("cell"))
