@@ -82,6 +82,17 @@ object SpatialIndex {
       // extrema and the P9 gate all come from SpatialJoin.inputStats, and
       // the dup-scan probe only runs when the gate says a duplicate can
       // exist — the same planning shape as SpatialJoin.run.
+      // The refs emptiness probe is independent of the stats result, so it
+      // overlaps the stats job on a driver future (same pattern as run()'s
+      // refs-head probe) instead of running as a third serial action.
+      val hasRefsFut = {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future {
+          spark.sparkContext.setCallSite("graft.refs")
+          try !refs.isEmpty
+          finally spark.sparkContext.clearCallSite()
+        }
+      }
       val st = SpatialJoin.inputStats(g0, cfg)
       val cs = if (cfg.cellSize > 0) cfg.cellSize
         else SpatialJoin.cellSizeFor(st.meanExt, cfg.withinDist >= 0)
@@ -95,7 +106,8 @@ object SpatialIndex {
       val hasDups = cfg.dupMinPoints >= 0 && maxCoordLen > 0 &&
         maxCoordLen >= cfg.dupMinPoints * 2 &&
         !SpatialJoin.dupEdges(spark, g0, cfgCs).isEmpty
-      val hasRefs = !refs.isEmpty
+      val hasRefs = scala.concurrent.Await.result(hasRefsFut,
+        scala.concurrent.duration.Duration.Inf)
       // same gate as run()'s fused-kernel dispatch: every mode (predicates,
       // distance, de9im) runs packed as long as no alias edges / duplicate
       // rewrites / >63-part multis force the general path
