@@ -91,7 +91,14 @@ object Knn {
     // it sizes the ring-disk broadcast decision below
     var uCount = unresolved.count()
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var r = 1L
+    // start at r=2: the guarantee radius r*s must exceed the k-th-NN
+    // distance for a query to resolve, and at the cell sizing above the
+    // typical k-th neighbor sits well inside ONE cell — but boundary /
+    // sparse-pocket queries routinely missed the r=1 guarantee, and each
+    // straggler round costs ~4 driver-serial jobs. A 5x5 disk multiplies
+    // round-1 candidates ~2.8x (still tiny next to the full table) and
+    // resolves near-everything in one round.
+    var r = 2L
     var done = false
     while (!done) {
       // disk of (2r+1)^2 cells covers everything once (2r+1)*s spans the
@@ -140,12 +147,15 @@ object Knn {
       }
       ranked.unpersist(false)
       resolvedKeys.unpersist(false)
-      // 4x radius growth: stragglers are the only queries left after
-      // round 1 (the grid is sized so the 3x3 disk resolves typical
-      // density), and each extra round costs ~4 driver-serial jobs —
-      // overshooting a straggler's disk is cheaper than an extra round
-      // (the disk stays a broadcast-sized candidate list either way).
-      r *= 4
+      // Straggler schedule: each extra round costs ~4 driver-serial jobs,
+      // so geometric growth only pays while the candidate volume it
+      // avoids is large. Once the remaining queries are few enough that
+      // even a full scan on their behalf is small (uCount * n rows
+      // through the rank window), jump straight to the whole-world
+      // radius and finish in ONE unconditional round; otherwise grow 4x.
+      r = if (uCount * n <= 50000000L)
+        math.max(r, math.max(w, h) / (2 * s) + 1)
+      else r * 4
     }
     cells.unpersist(false)
     parts.reduce(_.union(_))

@@ -263,16 +263,27 @@ object TextSim {
   /** Candidate pairs from shared LSH buckets, verified with exact word
     * 3-gram jaccard; emits pairs with jaccard >= 0.5. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
-    // guide §2.4/§7.2: as a broadcast join the bucket self-join computed
-    // the whole band pipeline (shingle explode + 12 min(md5)
-    // SortAggregates) once PER SIDE — a BroadcastExchange side never
-    // reuses the stream side's exchange. The merge hint puts both sides
-    // behind the SAME Exchange(hash(band, bv)), which Spark deduplicates
-    // (ReusedExchange), so the pipeline runs once; sorting the few
-    // band rows per side costs nothing at any scale. (An eager
-    // persist+count was measured slower: it serializes a barrier job
-    // where the duplicate subtrees previously overlapped on idle cores.)
-    val bands = minhashBands(s, dir)
+    // Band table via the PROJECTION face (r6): bandsProjection computes
+    // the identical (doc_id, band, bv) rows — parity-pinned against the
+    // groupBy face in TextSimSpec — as pure per-row expressions, so the
+    // shingle explode + 12 min(md5-string) SortAggregates + their
+    // exchange vanish from this query entirely (min over strings has no
+    // hash-agg form, so the groupBy face paid a Tungsten sort per side).
+    // The per-row shingle array is bounded by document length, the usual
+    // contract of an LLM-corpus pipeline; the groupBy face remains
+    // available for unbounded-document inputs.
+    //
+    // guide §2.4/§7.2 on the self-join: as a broadcast join the bucket
+    // self-join computed the whole band pipeline once PER SIDE — a
+    // BroadcastExchange side never reuses the stream side's exchange.
+    // The merge hint puts both sides behind the SAME
+    // Exchange(hash(band, bv)), which AQE deduplicates (ReusedExchange),
+    // so the projection runs once; sorting the few band rows per side
+    // costs nothing at any scale. (An eager persist+count was measured
+    // slower: it serializes a barrier job where the duplicate subtrees
+    // previously overlapped on idle cores.)
+    val bands = bandsProjection(docs(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"), col("bv"))
     val cands = bands.alias("a").hint("merge").join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
