@@ -89,7 +89,10 @@ object SpatialIndex {
         import scala.concurrent.ExecutionContext.Implicits.global
         scala.concurrent.Future {
           spark.sparkContext.setCallSite("graft.refs")
-          try !refs.isEmpty
+          // count, not isEmpty: isEmpty's take(1) runs 3-4 escalating
+          // partition-scan jobs when the refs side is empty — the common
+          // case for an index input — while count is one job
+          try refs.count() > 0L
           finally spark.sparkContext.clearCallSite()
         }
       }

@@ -2376,8 +2376,14 @@ object SpatialJoin {
       import scala.concurrent.ExecutionContext.Implicits.global
       scala.concurrent.Future {
         spark.sparkContext.setCallSite("graft.refs")
-        try refsP.take(edgeCap)
-        finally spark.sparkContext.clearCallSite()
+        // count first: ONE job (which also materializes the refs cache)
+        // instead of take()'s 3-4 escalating partition-scan jobs on the
+        // usual empty or tiny refs side; a nonempty side's take is then
+        // served from the cache
+        try {
+          if (refsP.count() == 0L) Array.empty[RefEdge]
+          else refsP.take(edgeCap)
+        } finally spark.sparkContext.clearCallSite()
       }
     }
     spark.sparkContext.setCallSite("graft.stats")

@@ -193,22 +193,36 @@ object TextSim {
       .select(col("doc_id"), col("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialize the shared projection once, then run the two writers
+      // CONCURRENTLY (guide §2.6 — independent jobs back-fill each
+      // other's stragglers): serially, the shingle write idled most cores
+      // while the band write's small output committed, and vice versa
+      base.count()
       val k = 12; val r = 3
       val sigs = (0 until k).map(i =>
         array_min(transform(col("shs"),
           sh => md5(concat(lit(i.toLong), lit(":"), sh)))).as(s"sig$i"))
-      base.select(col("doc_id") +: sigs: _*)
-        .withColumn("_graft_s", explode(array(bandStructs(k, r): _*)))
-        .select(col("doc_id").as("corpus_id"),
-          col("_graft_s.band").as("band"), col("_graft_s.bv").as("bv"))
-        .repartition(col("band"), col("bv"))
-        .sortWithinPartitions("band", "bv")
-        .write.mode("overwrite").parquet(s"$out/bands")
-      base
-        .select(col("doc_id").as("corpus_id"),
-          array_distinct(col("shs")).as("csh"))
-        .repartition(col("corpus_id"))
-        .write.mode("overwrite").parquet(s"$out/shingles")
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bandsF = scala.concurrent.Future {
+        base.select(col("doc_id") +: sigs: _*)
+          .withColumn("_graft_s", explode(array(bandStructs(k, r): _*)))
+          .select(col("doc_id").as("corpus_id"),
+            col("_graft_s.band").as("band"), col("_graft_s.bv").as("bv"))
+          .repartition(col("band"), col("bv"))
+          .sortWithinPartitions("band", "bv")
+          .write.mode("overwrite").parquet(s"$out/bands")
+      }
+      val shinglesF = scala.concurrent.Future {
+        base
+          .select(col("doc_id").as("corpus_id"),
+            array_distinct(col("shs")).as("csh"))
+          .repartition(col("corpus_id"))
+          .write.mode("overwrite").parquet(s"$out/shingles")
+      }
+      scala.concurrent.Await.result(bandsF,
+        scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(shinglesF,
+        scala.concurrent.duration.Duration.Inf)
     } finally base.unpersist(false)
   }
 
