@@ -940,24 +940,28 @@ object SpatialJoin {
     // referenced (geometry, sub); only meaningful once fanned to a referer
     // (reference selfCheck, Sweeper.cpp:2453-2475). Carries the target's
     // side for the non-self write discipline below.
+    // pure column construction (r6): the former typed .map built FlagRow
+    // objects through a Deserialize/SerializeFromObject boundary, which
+    // broke whole-stage codegen around the join and measured ~4.6 core-s
+    // for thousands of rows; every field is a plain expression
+    val tCol = lit(true); val fCol = lit(false)
+    val k = coalesce(col("kind"), lit(-1))
+    val n = coalesce(col("nSubs"), lit(1))
+    val sCol = coalesce(col("side"), lit(0))
     val selfRows = tgtDf
       .join(geoms.toDF().select(col("gid"), col("subId"), col("kind"),
         col("nSubs"), col("side")),
         col("t") === col("gid") && col("ts") === col("subId"), "left")
-      .select(col("t"), col("ts"), coalesce(col("kind"), lit(-1)).as("k"),
-        coalesce(col("nSubs"), lit(1)).as("n"),
-        coalesce(col("side"), lit(0)).as("s"))
-      .as[(String, Int, Int, Int, Int)]
-      .map { case (t, ts, k, n, s) =>
-        (FlagRow(t, ts, n, k, t, ts, n, k,
-          isect = true, covAbyB = true, covBbyA = true,
-          contAinB = true, contBinA = true, subEq = true,
-          touch = false, notTouch = false, llCross = false,
-          laCrossAB = false, laCrossBA = false,
-          overlap = false, de9im = "", dist = 0.0), s)
-      }
-      .toDF("f", "s")
-      .selectExpr("f.*", "s as sideA", "s as sideB")
+      .select(col("t").as("gidA"), col("ts").as("subA"),
+        n.as("nA"), k.as("kindA"),
+        col("t").as("gidB"), col("ts").as("subB"),
+        n.as("nB"), k.as("kindB"),
+        tCol.as("isect"), tCol.as("covAbyB"), tCol.as("covBbyA"),
+        tCol.as("contAinB"), tCol.as("contBinA"), tCol.as("subEq"),
+        fCol.as("touch"), fCol.as("notTouch"), fCol.as("llCross"),
+        fCol.as("laCrossAB"), fCol.as("laCrossBA"), fCol.as("overlap"),
+        lit("").as("de9im"), lit(0.0).as("dist"),
+        sCol.as("sideA"), sCol.as("sideB"))
 
     // The grouped closure holds ONE options-array row per (target,
     // targetSub): each staged row expands in a single scan via
