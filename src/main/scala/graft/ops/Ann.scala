@@ -321,7 +321,11 @@ object Ann {
     * recall measurement against the %50 LSH queries). */
   def bruteTopK(s: SparkSession, dir: String, k: Int = 5,
       queryPred: Column = null): DataFrame = {
+    // persisted: e feeds the stride count, the broadcast query side and
+    // the scan side, each of which re-ran the cast + norm; the count
+    // below materializes the cache (same pattern as ivfTopK/cosinePairs)
     val e = withNorm(emb(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred =
       if (queryPred != null) queryPred
       else {
@@ -345,7 +349,10 @@ object Ann {
 
   /** Approximate top-k: multi-table LSH candidates ranked by exact cosine. */
   def lshTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // persisted: e feeds the bitsFor count, the bucket table, and the
+    // two exact-cosine score joins; the count materializes the cache
     val e = withNorm(emb(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = bitsFor(e.count())
     val cands = lshCandidates(e, col("vec_id") % 50 === 0, TABLES, bits)
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),

@@ -109,7 +109,11 @@ object ConnectedComponents {
       col(c(0)).cast("long").as("a"), col(c(1)).cast("long").as("b")))
     if (checkpointDir.isEmpty) {
       // bounded probe: one extra row is the overflow sentinel that sends
-      // oversized graphs to the distributed loop below
+      // oversized graphs to the distributed loop below. take(), not
+      // count()+collect(): the take's partition escalation stays inside
+      // ONE query execution (upstream stages shared), while two separate
+      // actions over the uncached edge pipeline would run it twice
+      // (measured +10 jobs on q25).
       val spark = edges0.sparkSession
       import spark.implicits._
       val cap = math.min(Int.MaxValue.toLong, driverMaxEdges.toLong + 1).toInt
