@@ -22,6 +22,8 @@ object QProbe {
             val cpu = i.taskMetrics.executorCpuTime / 1e9
             val run = i.taskMetrics.executorRunTime / 1e3
             val gc = i.taskMetrics.jvmGCTime / 1e3
+            val sr = i.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6
+            val sw = i.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6
             // first graft frame from the long call site identifies which
             // operator built the stage (the short name is useless for
             // broadcast-thread jobs)
@@ -31,7 +33,29 @@ object QProbe {
             if (wall > 0.3) println(
               f"[stage] ${i.stageId}%3d tasks=${i.numTasks}%4d " +
                 f"wall=$wall%7.2f run=$run%8.1f cpu=$cpu%8.1f gc=$gc%6.1f " +
+                f"sr=$sr%7.1fM sw=$sw%7.1fM " +
                 f"  ${i.name.takeWhile(_ != '\n').take(40)} | $where")
+          }
+        })
+    if (sys.env.contains("QPROBE_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          val desc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            t0.put(j.jobId, j.time)
+            desc.put(j.jobId, Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .orElse(Option(j.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short"))))
+              .getOrElse(""))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = t0.remove(j.jobId)
+            println(f"[job] ${j.jobId}%3d wall=${(j.time - s) / 1e3}%6.2f " +
+              s"${desc.remove(j.jobId)}")
           }
         })
     val jobs = new java.util.concurrent.atomic.AtomicInteger

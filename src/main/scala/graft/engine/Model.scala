@@ -33,6 +33,9 @@ final case class RefEdge(
 
 object Model {
 
+  /** '<' as UTF8String for the byte-level refs line pre-filter. */
+  private val REF_MARK = org.apache.spark.unsafe.types.UTF8String.fromString("<")
+
   def toG(kind: Int, coords: Array[Int], ringEnds: Array[Int]): Geo.G =
     new Geo.G(kind, coords, ringEnds)
 
@@ -64,9 +67,17 @@ object Model {
       idOffset: Long = 0L, defaultSide: Int = 0)
       : (Dataset[SubGeom], Dataset[RefEdge]) = {
     import spark.implicits._
-    val indexed = lines.rdd.zipWithIndex()
-    val rows = indexed.flatMap { case (l, i) =>
-      Wkt.parseLine(l, i + 1 + idOffset, defaultSide)
+    // zipWithIndex over the PHYSICAL rows, not Dataset.rdd: `.rdd` inserts
+    // an InternalRow -> java.lang.String deserialization pass that the
+    // offsets-count job (zipWithIndex's eager first job) and the refs line
+    // filter below would pay on every line (guide §1.4 — ".rdd forces a
+    // conversion ... adding cost the real query does not have"). The
+    // physical iterator yields the same lines in the same partition order,
+    // so the indices are unchanged; rows are consumed element-at-a-time
+    // (flatMap/filter, no buffering), so the reused UnsafeRow is safe.
+    val indexed = lines.queryExecution.toRdd.zipWithIndex()
+    val rows = indexed.flatMap { case (r, i) =>
+      Wkt.parseLine(r.getUTF8String(0).toString, i + 1 + idOffset, defaultSide)
     }
     val geoms = spark.createDataset(rows.flatMap(subGeomsOf))
     // Ref edges come ONLY from `<...>` payload lines (Wkt.parseLine:57 —
@@ -79,9 +90,12 @@ object Model {
     // parse; non-matching lines can't contribute edges, and matching lines
     // go through the identical parseLine, so the edge multiset is
     // unchanged for any input.
-    val refRows = indexed.filter(_._1.indexOf('<') >= 0).flatMap { case (l, i) =>
-      Wkt.parseLine(l, i + 1 + idOffset, defaultSide)
-    }
+    val refRows = indexed
+      .filter(_._1.getUTF8String(0).contains(REF_MARK))
+      .flatMap { case (r, i) =>
+        Wkt.parseLine(r.getUTF8String(0).toString, i + 1 + idOffset,
+          defaultSide)
+      }
     val refs = spark.createDataset(refRows.flatMap(refEdgesOf))
     (geoms, refs)
   }

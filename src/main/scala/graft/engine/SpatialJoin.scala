@@ -2470,11 +2470,15 @@ object SpatialJoin {
         val tgtDf = spark.createDataset(
           refsHead.map(_.target).distinct.toSeq)(
           org.apache.spark.sql.Encoders.STRING).toDF("t_gid")
+        // no .distinct(): the result is bounded (|targets| x <=255 subs),
+        // so dedup happens on the driver — the distinct cost an Exchange
+        // plus two serial AQE jobs per multi-target refs query
         val tgtSubs = g0.toDF()
           .join(broadcast(tgtDf), col("gid") === col("t_gid"), "left_semi")
-          .select(col("gid"), col("subId")).distinct()
+          .select(col("gid"), col("subId"))
           .collect().groupBy(_.getString(0))
-          .map { case (g, rs) => g -> rs.map(_.getInt(1)).toSeq.sorted }
+          .map { case (g, rs) =>
+            g -> rs.map(_.getInt(1)).toSeq.distinct.sorted }
         expandAuthoredRefsDriver(refsHead, tgtSubs)
       }
     spark.sparkContext.clearCallSite()
